@@ -1,0 +1,496 @@
+"""Selective scan (Mamba S6 recurrence) — Pallas TPU kernel with custom VJP.
+
+TPU-native re-design of the reference CUDA kernels
+(/root/reference/mamba/csrc/selective_scan/selective_scan_fwd_kernel.cuh and
+selective_scan_bwd_kernel.cuh).  Same algorithmic structure — a chunked
+first-order linear-recurrence scan with a carried running prefix and
+chunk-boundary states saved for the backward pass — but mapped to TPU:
+
+- Grid ``(batch, d_inner/DT, L/CHUNK)`` with the L axis innermost and
+  sequential; the running state lives in a VMEM scratch ``(N, DT)`` carried
+  across chunk iterations (the CUDA version carries it in shared memory
+  across 2048-element chunks, selective_scan_fwd_kernel.cuh:131-254).
+- Within a chunk, the inclusive scan over pairs ``(exp(dt*A), dt*B*u)``
+  under ``(a2,b2)∘(a1,b1) = (a1*a2, a2*b1 + b2)`` runs as a work-efficient
+  ``jax.lax.associative_scan`` over the leading (untiled) chunk axis of
+  ``(CHUNK, N, DT)`` fp32 VMEM values — the TPU analogue of the CUDA
+  cub::BlockScan parallel prefix scan.
+- The backward pass is itself a linear recurrence run in reverse
+  (``g_t = C_t⊗dy_t + a_{t+1}*g_{t+1}``): one kernel visits chunks
+  right-to-left, recomputes the forward states within each chunk from the
+  saved chunk-start states (the CUDA bwd does the same,
+  selective_scan_bwd_kernel.cuh:269-391), reverse-scans the adjoint, and
+  emits all eight gradients without atomics (per-batch partials for
+  dA/dD/ddelta_bias are reduced in VMEM across chunks and over batch
+  outside the kernel).
+- fp32 state and accumulation with bf16/fp32 I/O, matching the reference
+  numerics contract (fp16/bf16 inputs, fp32 weights/state,
+  selective_scan.cpp:14-26).
+
+Layout is time-major: ``u/delta/z: (B, L, D)``, ``Bv/Cv: (B, L, N)``,
+``A: (D, N)`` — D rides the 128-lane axis, N the sublane axis.
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from vivim_tpu.kernels import refs
+
+DEFAULT_CHUNK = 128
+DEFAULT_DTILE = 128
+
+_NEG_INF = -1e9  # delta pad that softplus maps to 0 (=> a = exp(0*A) = 1)
+
+
+def _take0(x):
+    """x[0] without dynamic_slice (Mosaic-unsupported): static slice + reshape."""
+    return jax.lax.slice_in_dim(x, 0, 1, axis=0).reshape(x.shape[1:])
+
+
+def _take_last(x):
+    n = x.shape[0]
+    return jax.lax.slice_in_dim(x, n - 1, n, axis=0).reshape(x.shape[1:])
+
+
+def _combine(left, right):
+    """Associative combine for the first-order recurrence h' = a*h + b."""
+    a1, b1 = left
+    a2, b2 = right
+    return a1 * a2, a2 * b1 + b2
+
+
+def _chunk_scan(a, b):
+    """Work-efficient inclusive scan of (a, b) pairs along axis 0.
+
+    Recursive even/odd (Blelloch-style) decomposition using only
+    leading-axis reshapes, concatenations and full-array elementwise ops —
+    the forms Mosaic lowers well (jax.lax.associative_scan's strided and
+    zero-length slices do not lower on TPU).  Requires len power of two.
+    """
+    C = a.shape[0]
+    if C == 1:
+        return a, b
+    rest = a.shape[1:]
+    ar = a.reshape((C // 2, 2) + rest)
+    br = b.reshape((C // 2, 2) + rest)
+    half = (C // 2,) + rest
+    ae = jax.lax.slice_in_dim(ar, 0, 1, axis=1).reshape(half)
+    ao = jax.lax.slice_in_dim(ar, 1, 2, axis=1).reshape(half)
+    be = jax.lax.slice_in_dim(br, 0, 1, axis=1).reshape(half)
+    bo = jax.lax.slice_in_dim(br, 1, 2, axis=1).reshape(half)
+    # combine neighbor pairs (even is the left operand)
+    a_pair = ae * ao
+    b_pair = ao * be + bo
+    oddA, oddB = _chunk_scan(a_pair, b_pair)  # inclusive scan at odd slots
+    if C == 2:
+        evenA, evenB = ae, be
+    else:
+        prevA = jnp.concatenate([jnp.ones_like(oddA[:1]), oddA[:-1]], axis=0)
+        prevB = jnp.concatenate([jnp.zeros_like(oddB[:1]), oddB[:-1]], axis=0)
+        evenA = prevA * ae
+        evenB = ae * prevB + be
+    outA = jnp.stack([evenA, oddA], axis=1).reshape((C,) + rest)
+    outB = jnp.stack([evenB, oddB], axis=1).reshape((C,) + rest)
+    return outA, outB
+
+
+def _suffix_scan(a, b):
+    """Suffix scan ``out[t] = b[t] + a[t] * out[t+1]`` along axis 0 (len
+    power of two).  Used for the adjoint recurrence, which runs in reverse
+    time — implemented directly rather than flip+scan+flip because lax.rev
+    does not lower in Mosaic."""
+    C = a.shape[0]
+    if C == 1:
+        return b
+    rest = a.shape[1:]
+    half = (C // 2,) + rest
+    ar = a.reshape((C // 2, 2) + rest)
+    br = b.reshape((C // 2, 2) + rest)
+    a0 = jax.lax.slice_in_dim(ar, 0, 1, axis=1).reshape(half)
+    a1 = jax.lax.slice_in_dim(ar, 1, 2, axis=1).reshape(half)
+    b0 = jax.lax.slice_in_dim(br, 0, 1, axis=1).reshape(half)
+    b1 = jax.lax.slice_in_dim(br, 1, 2, axis=1).reshape(half)
+    a_pair = a0 * a1
+    b_pair = b0 + a0 * b1
+    even = _suffix_scan(a_pair, b_pair)       # S at even slots
+    if C == 2:
+        odd = b1
+    else:
+        next_even = jnp.concatenate(
+            [even[1:], jnp.zeros_like(even[:1])], axis=0)
+        odd = b1 + a1 * next_even
+    return jnp.stack([even, odd], axis=1).reshape((C,) + rest)
+
+
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+# ---------------------------------------------------------------------------
+# Forward kernel
+# ---------------------------------------------------------------------------
+
+
+def _fwd_kernel(delta_ref, u_ref, B_ref, C_ref, z_ref, A_ref, D_ref, bias_ref,
+                y_ref, cs_ref, ls_ref, state, *, softplus: bool, has_z: bool):
+    k = pl.program_id(2)
+    nk = pl.num_programs(2)
+
+    @pl.when(k == 0)
+    def _():
+        state[...] = jnp.zeros_like(state)
+
+    # Save the chunk-start state for the backward pass (cf. the CUDA fwd
+    # kernel's x[b, d, chunk, 2*dstate] stash, selective_scan_fwd_kernel.cuh:236-254).
+    cs_ref[0, 0] = state[...]
+
+    dp = delta_ref[0].astype(jnp.float32) + bias_ref[0].astype(jnp.float32)
+    if softplus:
+        dp = jax.nn.softplus(dp)
+    uf = u_ref[0].astype(jnp.float32)               # (C, DT)
+    A = A_ref[...].astype(jnp.float32)              # (N, DT)
+    a = jnp.exp(dp[:, None, :] * A[None])           # (C, N, DT)
+    Bt = B_ref[0].astype(jnp.float32)               # (C, N)
+    bu = (dp * uf)[:, None, :] * Bt[:, :, None]     # (C, N, DT)
+
+    a_cum, h = _chunk_scan(a, bu)
+    h = h + a_cum * state[...][None]
+    state[...] = _take_last(h)
+
+    Ct = C_ref[0].astype(jnp.float32)               # (C, N)
+    y = jnp.sum(h * Ct[:, :, None], axis=1)         # (C, DT)
+    y = y + D_ref[0].astype(jnp.float32) * uf
+    if has_z:
+        zf = z_ref[0].astype(jnp.float32)
+        y = y * (zf * jax.nn.sigmoid(zf))
+    y_ref[0] = y.astype(y_ref.dtype)
+
+    @pl.when(k == nk - 1)
+    def _():
+        ls_ref[0] = state[...]
+
+
+# ---------------------------------------------------------------------------
+# Backward kernel (reverse-time scan; visits chunks right-to-left)
+# ---------------------------------------------------------------------------
+
+
+def _bwd_kernel(delta_ref, u_ref, B_ref, C_ref, z_ref, A_ref, D_ref, bias_ref,
+                dout_ref, dlast_ref, cs_ref,
+                ddelta_ref, du_ref, dB_ref, dC_ref, dz_ref, dA_ref, dD_ref,
+                dbias_ref, g_carry, *, softplus: bool, has_z: bool):
+    k = pl.program_id(2)
+
+    # Recompute the forward within this chunk from the saved start state.
+    delta_raw = delta_ref[0].astype(jnp.float32) + bias_ref[0].astype(jnp.float32)
+    dp = jax.nn.softplus(delta_raw) if softplus else delta_raw
+    uf = u_ref[0].astype(jnp.float32)
+    A = A_ref[...].astype(jnp.float32)              # (N, DT)
+    a = jnp.exp(dp[:, None, :] * A[None])           # (C, N, DT)
+    Bt = B_ref[0].astype(jnp.float32)
+    Ct = C_ref[0].astype(jnp.float32)
+    bu = (dp * uf)[:, None, :] * Bt[:, :, None]
+    h0 = cs_ref[0, 0].astype(jnp.float32)           # (N, DT) chunk-start state
+    a_cum, hs = _chunk_scan(a, bu)
+    h = hs + a_cum * h0[None]
+    h_prev = jnp.concatenate([h0[None], h[:-1]], axis=0)
+
+    dy = dout_ref[0].astype(jnp.float32)            # (C, DT)
+    Dsk = D_ref[0].astype(jnp.float32)
+    if has_z:
+        zf = z_ref[0].astype(jnp.float32)
+        sig = jax.nn.sigmoid(zf)
+        silu = zf * sig
+        y_pre = jnp.sum(h * Ct[:, :, None], axis=1) + Dsk * uf
+        dz_ref[0] = (dy * y_pre * (sig + silu * (1.0 - sig))).astype(dz_ref.dtype)
+        dy = dy * silu
+
+    dC = jnp.sum(h * dy[:, None, :], axis=2)        # (C, N)
+    dC_ref[0] = dC.astype(dC_ref.dtype)
+    dD_contrib = jnp.sum(dy * uf, axis=0)           # (DT,)
+
+    # Adjoint reverse scan: g_t = C_t⊗dy_t + a_{t+1}·g_{t+1}.  The rightmost
+    # visited chunk (k == 0 in reversed order) seeds the carry with the
+    # cotangent of the final state.
+    @pl.when(k == 0)
+    def _():
+        g_carry[...] = dlast_ref[0].astype(jnp.float32)
+
+    v = dy[:, None, :] * Ct[:, :, None]             # (C, N, DT)
+    v = jnp.concatenate([v[:-1], (_take_last(v) + g_carry[...])[None]], axis=0)
+    a_shift = jnp.concatenate([a[1:], jnp.ones_like(a[:1])], axis=0)
+    g = _suffix_scan(a_shift, v)                    # (C, N, DT)
+    g_carry[...] = _take0(a) * _take0(g)
+
+    gB = jnp.sum(g * Bt[:, :, None], axis=1)        # (C, DT)
+    du = dp * gB + Dsk * dy
+    du_ref[0] = du.astype(du_ref.dtype)
+    dla = g * h_prev * a                            # d/d(dp*A)
+    ddelta_post = uf * gB + jnp.sum(dla * A[None], axis=1)
+    if softplus:
+        ddelta_pre = ddelta_post * jax.nn.sigmoid(delta_raw)
+    else:
+        ddelta_pre = ddelta_post
+    ddelta_ref[0] = ddelta_pre.astype(ddelta_ref.dtype)
+    dB = jnp.sum(g * (dp * uf)[:, None, :], axis=2)  # (C, N)
+    dB_ref[0] = dB.astype(dB_ref.dtype)
+
+    dA_contrib = jnp.sum(dla * dp[:, None, :], axis=0)   # (N, DT)
+    dbias_contrib = jnp.sum(ddelta_pre, axis=0)           # (DT,)
+
+    @pl.when(k == 0)
+    def _():
+        dA_ref[0] = dA_contrib
+        dD_ref[0, 0] = dD_contrib
+        dbias_ref[0, 0] = dbias_contrib
+
+    @pl.when(k > 0)
+    def _():
+        dA_ref[0] += dA_contrib
+        dD_ref[0, 0] += dD_contrib
+        dbias_ref[0, 0] += dbias_contrib
+
+
+# ---------------------------------------------------------------------------
+# Host-side padding / invocation
+# ---------------------------------------------------------------------------
+
+
+def _pad_args(u, delta, B, C, z, A, Dskip, bias, softplus, chunk, dtile):
+    """Pad L to a chunk multiple and D to a tile multiple (padding is inert:
+    padded timesteps keep a == 1 so the carried state is unchanged)."""
+    batch, L, d = u.shape
+    n = A.shape[1]
+    Lp, dp_ = _round_up(L, chunk), _round_up(d, dtile)
+    pad_l, pad_d = Lp - L, dp_ - d
+    delta_pad_value = _NEG_INF if softplus else 0.0
+    if pad_l or pad_d:
+        u = jnp.pad(u, ((0, 0), (0, pad_l), (0, pad_d)))
+        delta = jnp.pad(delta, ((0, 0), (0, pad_l), (0, pad_d)),
+                        constant_values=delta_pad_value)
+        B = jnp.pad(B, ((0, 0), (0, pad_l), (0, 0)))
+        C = jnp.pad(C, ((0, 0), (0, pad_l), (0, 0)))
+        if z is not None:
+            z = jnp.pad(z, ((0, 0), (0, pad_l), (0, 0)))
+        A = jnp.pad(A, ((0, pad_d), (0, 0)))
+        Dskip = jnp.pad(Dskip, (0, pad_d))
+        bias = jnp.pad(bias, (0, pad_d))
+    return u, delta, B, C, z, A, Dskip, bias, (batch, L, d, n, Lp, dp_)
+
+
+def _interpret() -> bool:
+    return jax.default_backend() != "tpu"
+
+
+def _fwd_call(u, delta, A, B, C, Dskip, z, bias, softplus, chunk, dtile):
+    u, delta, B, C, z, A, Dskip, bias, dims = _pad_args(
+        u, delta, B, C, z, A, Dskip, bias, softplus, chunk, dtile)
+    batch, L, d, n, Lp, dpad = dims
+    nk, nd = Lp // chunk, dpad // dtile
+    A_t = A.T.astype(jnp.float32)            # (N, Dp)
+    D2 = Dskip.astype(jnp.float32)[None, :]  # (1, Dp)
+    b2 = bias.astype(jnp.float32)[None, :]   # (1, Dp)
+    has_z = z is not None
+
+    ld_spec = pl.BlockSpec((1, chunk, dtile), lambda b, j, k: (b, k, j))
+    ln_spec = pl.BlockSpec((1, chunk, n), lambda b, j, k: (b, k, 0))
+    row_spec = pl.BlockSpec((1, dtile), lambda b, j, k: (0, j))
+
+    in_specs = [ld_spec, ld_spec, ln_spec, ln_spec]
+    inputs = [delta, u, B, C]
+    if has_z:
+        in_specs.append(ld_spec)
+        inputs.append(z)
+    else:
+        in_specs.append(pl.BlockSpec((1, 1), lambda b, j, k: (0, 0)))
+        inputs.append(jnp.zeros((1, 1), u.dtype))
+    in_specs += [pl.BlockSpec((n, dtile), lambda b, j, k: (0, j)), row_spec, row_spec]
+    inputs += [A_t, D2, b2]
+
+    kernel = functools.partial(_fwd_kernel, softplus=softplus, has_z=has_z)
+    y, chunk_states, last_state = pl.pallas_call(
+        kernel,
+        grid=(batch, nd, nk),
+        in_specs=in_specs,
+        out_specs=[
+            ld_spec,
+            pl.BlockSpec((1, 1, n, dtile), lambda b, j, k: (b, k, 0, j)),
+            pl.BlockSpec((1, n, dtile), lambda b, j, k: (b, 0, j)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((batch, Lp, dpad), u.dtype),
+            jax.ShapeDtypeStruct((batch, nk, n, dpad), jnp.float32),
+            jax.ShapeDtypeStruct((batch, n, dpad), jnp.float32),
+        ],
+        scratch_shapes=[pltpu.VMEM((n, dtile), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+        ),
+        interpret=_interpret(),
+    )(*inputs)
+    # public layout for the state is (batch, dim, dstate), matching the ref
+    return y[:, :L, :d], chunk_states, jnp.swapaxes(last_state, 1, 2)[:, :d, :]
+
+
+def _bwd_call(u, delta, A, B, C, Dskip, z, bias, chunk_states, dout, dlast,
+              softplus, chunk, dtile):
+    u, delta, B, C, z, A, Dskip, bias, dims = _pad_args(
+        u, delta, B, C, z, A, Dskip, bias, softplus, chunk, dtile)
+    batch, L, d, n, Lp, dpad = dims
+    nk, nd = Lp // chunk, dpad // dtile
+    dout = jnp.pad(dout, ((0, 0), (0, Lp - L), (0, dpad - d)))
+    dlast = jnp.swapaxes(dlast, 1, 2)  # (B, dim, N) -> kernel layout (B, N, dim)
+    dlast = jnp.pad(dlast, ((0, 0), (0, 0), (0, dpad - d)))
+    A_t = A.T.astype(jnp.float32)
+    D2 = Dskip.astype(jnp.float32)[None, :]
+    b2 = bias.astype(jnp.float32)[None, :]
+    has_z = z is not None
+
+    # Visit chunks right-to-left: reverse the k index in every L-blocked map.
+    rev = lambda b, j, k: (b, nk - 1 - k, j)
+    rev_n = lambda b, j, k: (b, nk - 1 - k, 0)
+    ld_spec = pl.BlockSpec((1, chunk, dtile), rev)
+    ln_spec = pl.BlockSpec((1, chunk, n), rev_n)
+    row_spec = pl.BlockSpec((1, dtile), lambda b, j, k: (0, j))
+
+    in_specs = [ld_spec, ld_spec, ln_spec, ln_spec]
+    inputs = [delta, u, B, C]
+    if has_z:
+        in_specs.append(ld_spec)
+        inputs.append(z)
+    else:
+        in_specs.append(pl.BlockSpec((1, 1), lambda b, j, k: (0, 0)))
+        inputs.append(jnp.zeros((1, 1), u.dtype))
+    in_specs += [
+        pl.BlockSpec((n, dtile), lambda b, j, k: (0, j)),
+        row_spec,
+        row_spec,
+        ld_spec,  # dout
+        pl.BlockSpec((1, n, dtile), lambda b, j, k: (b, 0, j)),  # dlast
+        pl.BlockSpec((1, 1, n, dtile), lambda b, j, k: (b, nk - 1 - k, 0, j)),
+    ]
+    inputs += [A_t, D2, b2, dout, dlast, chunk_states]
+
+    kernel = functools.partial(_bwd_kernel, softplus=softplus, has_z=has_z)
+    f32 = jnp.float32
+    outs = pl.pallas_call(
+        kernel,
+        grid=(batch, nd, nk),
+        in_specs=in_specs,
+        out_specs=[
+            ld_spec,                                             # ddelta
+            ld_spec,                                             # du
+            ln_spec,                                             # dB
+            ln_spec,                                             # dC
+            ld_spec if has_z else pl.BlockSpec((1, 1), lambda b, j, k: (0, 0)),
+            pl.BlockSpec((1, n, dtile), lambda b, j, k: (b, 0, j)),  # dA part
+            pl.BlockSpec((1, 1, dtile), lambda b, j, k: (b, 0, j)),   # dD part
+            pl.BlockSpec((1, 1, dtile), lambda b, j, k: (b, 0, j)),   # dbias part
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((batch, Lp, dpad), f32),
+            jax.ShapeDtypeStruct((batch, Lp, dpad), f32),
+            jax.ShapeDtypeStruct((batch, Lp, n), f32),
+            jax.ShapeDtypeStruct((batch, Lp, n), f32),
+            jax.ShapeDtypeStruct((batch, Lp, dpad) if has_z else (1, 1), f32),
+            jax.ShapeDtypeStruct((batch, n, dpad), f32),
+            jax.ShapeDtypeStruct((batch, 1, dpad), f32),
+            jax.ShapeDtypeStruct((batch, 1, dpad), f32),
+        ],
+        scratch_shapes=[pltpu.VMEM((n, dtile), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+        ),
+        interpret=_interpret(),
+    )(*inputs)
+    ddelta, du, dB, dC, dz, dA_p, dD_p, dbias_p = outs
+    ddelta = ddelta[:, :L, :d]
+    du = du[:, :L, :d]
+    dB = dB[:, :L, :]
+    dC = dC[:, :L, :]
+    dz = dz[:, :L, :d] if has_z else None
+    dA = jnp.sum(dA_p, axis=0).T[:d]      # (D, N)
+    dD = jnp.sum(dD_p, axis=(0, 1))[:d]
+    dbias = jnp.sum(dbias_p, axis=(0, 1))[:d]
+    return ddelta, du, dB, dC, dz, dA, dD, dbias
+
+
+# ---------------------------------------------------------------------------
+# custom_vjp wrapper
+# ---------------------------------------------------------------------------
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(8, 9, 10))
+def _selective_scan_core(u, delta, A, B, C, Dskip, z, delta_bias,
+                         delta_softplus, chunk, dtile):
+    y, _, last_state = _fwd_call(u, delta, A, B, C, Dskip, z, delta_bias,
+                                 delta_softplus, chunk, dtile)
+    return y, last_state
+
+
+def _core_fwd(u, delta, A, B, C, Dskip, z, delta_bias, delta_softplus, chunk,
+              dtile):
+    y, chunk_states, last_state = _fwd_call(
+        u, delta, A, B, C, Dskip, z, delta_bias, delta_softplus, chunk, dtile)
+    return (y, last_state), (u, delta, A, B, C, Dskip, z, delta_bias,
+                             chunk_states)
+
+
+def _core_bwd(delta_softplus, chunk, dtile, res, cts):
+    u, delta, A, B, C, Dskip, z, delta_bias, chunk_states = res
+    dout, dlast = cts
+    ddelta, du, dB, dC, dz, dA, dD, dbias = _bwd_call(
+        u, delta, A, B, C, Dskip, z, delta_bias, chunk_states,
+        dout.astype(jnp.float32), dlast.astype(jnp.float32),
+        delta_softplus, chunk, dtile)
+    cast = lambda g, x: g.astype(x.dtype)
+    return (cast(du, u), cast(ddelta, delta), cast(dA, A), cast(dB, B),
+            cast(dC, C), cast(dD, Dskip),
+            cast(dz, z) if z is not None else None,
+            cast(dbias, delta_bias))
+
+
+_selective_scan_core.defvjp(_core_fwd, _core_bwd)
+
+
+def selective_scan(
+    u,
+    delta,
+    A,
+    B,
+    C,
+    D=None,
+    z=None,
+    delta_bias=None,
+    delta_softplus=False,
+    return_last_state=False,
+    implementation=None,
+    chunk=DEFAULT_CHUNK,
+    dtile=DEFAULT_DTILE,
+):
+    """Selective scan, time-major: see ``refs.selective_scan_ref`` for the
+    semantic contract.  ``implementation``: "pallas" (default; interpreted
+    off-TPU) or "ref" (sequential lax.scan).  Variable (input-dependent)
+    B and C of shape (batch, L, dstate) are required for the Pallas path;
+    constant/grouped B or C falls back to the reference implementation.
+    """
+    if implementation == "ref" or B.ndim != 3 or C.ndim != 3:
+        return refs.selective_scan_ref(
+            u, delta, A, B, C, D, z, delta_bias, delta_softplus,
+            return_last_state)
+    if chunk & (chunk - 1):
+        raise ValueError(f"chunk must be a power of two, got {chunk}")
+    d = u.shape[-1]
+    Dskip = jnp.zeros((d,), jnp.float32) if D is None else D
+    bias = jnp.zeros((d,), jnp.float32) if delta_bias is None else delta_bias
+    dtile = min(dtile, _round_up(d, 128))
+    y, last_state = _selective_scan_core(
+        u, delta, A, B, C, Dskip, z, bias, delta_softplus, chunk, dtile)
+    return (y, last_state) if return_last_state else y
