@@ -1,0 +1,107 @@
+"""Shared layers: DropPath, 3-D depthwise conv, Mix-FFN style Mlp.
+
+Behavioral contracts from the reference model code
+(/root/reference/modeling/vivim.py:57-106 — DWConv/Mlp; timm DropPath used
+at vivim.py:125).
+"""
+
+from __future__ import annotations
+
+from typing import Callable
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+
+def torch_linear_init(scale: float = 1.0 / 3.0):
+    """U(-sqrt(1/fan_in), sqrt(1/fan_in)) — PyTorch nn.Linear default."""
+    return nn.initializers.variance_scaling(scale, "fan_in", "uniform")
+
+
+trunc_normal_init = nn.initializers.truncated_normal(stddev=0.02, lower=-2.0,
+                                                     upper=2.0)
+
+
+class DropPath(nn.Module):
+    """Stochastic depth: drop the residual branch per sample.
+
+    Same semantics as timm's DropPath (used at vivim.py:125): with
+    probability ``rate``, zero a sample's branch output; otherwise scale by
+    1/(1-rate).
+    """
+
+    rate: float = 0.0
+
+    @nn.compact
+    def __call__(self, x, deterministic: bool = True):
+        if self.rate == 0.0 or deterministic:
+            return x
+        keep = 1.0 - self.rate
+        rng = self.make_rng("dropout")
+        shape = (x.shape[0],) + (1,) * (x.ndim - 1)
+        mask = jax.random.bernoulli(rng, keep, shape)
+        return jnp.where(mask, x / keep, 0.0)
+
+
+class DWConv3d(nn.Module):
+    """Depthwise 3x3x3 conv over (T, H, W) on token sequences.
+
+    The reference's DWConv (vivim.py:57-68) reshapes (B, N, C) tokens to
+    (B, C, T, H, W), applies nn.Conv3d(groups=C, k=3, pad=1) and flattens
+    back.  Here tokens stay channels-last (TPU-native) and the conv is a
+    feature-grouped lax conv.
+    """
+
+    dim: int
+
+    @nn.compact
+    def __call__(self, x, nframes: int, H: int, W: int):
+        B, N, C = x.shape
+        assert N == nframes * H * W and C == self.dim
+        kernel = self.param(
+            "kernel",
+            # torch Conv3d default: kaiming-uniform, fan_in = 27 (depthwise)
+            nn.initializers.variance_scaling(1.0 / 3.0, "fan_in", "uniform"),
+            (3, 3, 3, 1, C),
+        )
+        bias = self.param("bias", nn.initializers.zeros, (C,))
+        xv = x.reshape(B, nframes, H, W, C)
+        y = jax.lax.conv_general_dilated(
+            xv,
+            kernel,
+            window_strides=(1, 1, 1),
+            padding=((1, 1), (1, 1), (1, 1)),
+            dimension_numbers=("NDHWC", "DHWIO", "NDHWC"),
+            feature_group_count=C,
+        )
+        y = y + bias
+        return y.reshape(B, N, C)
+
+
+class Mlp(nn.Module):
+    """fc1 -> 3-D depthwise conv -> GELU -> fc2 with dropout.
+
+    Mirrors vivim.py:71-106 (Mix-FFN with a 3D depthwise conv for
+    spatiotemporal locality); trunc-normal(0.02) linear init as in
+    vivim.py:84-97.
+    """
+
+    dim: int
+    hidden_dim: int | None = None
+    out_dim: int | None = None
+    dropout_rate: float = 0.0
+    act: Callable = nn.gelu
+
+    @nn.compact
+    def __call__(self, x, nframes: int, H: int, W: int,
+                 deterministic: bool = True):
+        hidden = self.hidden_dim or self.dim
+        out = self.out_dim or self.dim
+        x = nn.Dense(hidden, kernel_init=trunc_normal_init, name="fc1")(x)
+        x = DWConv3d(hidden, name="dwconv")(x, nframes, H, W)
+        x = self.act(x)
+        x = nn.Dropout(self.dropout_rate, deterministic=deterministic)(x)
+        x = nn.Dense(out, kernel_init=trunc_normal_init, name="fc2")(x)
+        x = nn.Dropout(self.dropout_rate, deterministic=deterministic)(x)
+        return x

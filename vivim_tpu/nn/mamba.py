@@ -1,0 +1,243 @@
+"""Tri-directional Mamba mixer (bimamba v3) and the Vivim MambaLayer.
+
+Re-design of the reference Mamba module
+(/root/reference/mamba/mamba_ssm/modules/mamba_simple.py):
+
+- ``MambaV3``: the SSM mixer with three parameter sets — forward temporal,
+  backward temporal (suffix ``_b``) and spatial (suffix ``_s``)
+  (mamba_simple.py:125-181).  Forward pass (mamba_simple.py:204-264):
+  one fused in_proj matmul produces xz; three fused inner scans run over
+  (a) the token sequence, (b) the flipped sequence, (c) the
+  frame-major -> position-major permuted sequence (so the scan walks
+  *across frames* at a fixed spatial position); outputs are averaged and
+  projected out.  ``bimamba_type`` in {"none", "v2", "v3"} covers the
+  vendored package's modes; Vivim always uses "v3".
+- The reference hard-codes ``nframes=5`` (mamba_simple.py:54) which forces
+  seqlen % 5 == 0; here the true clip length is a call argument.
+- Parameter init matches mamba_simple.py:89-121: dt_proj weight
+  U(+-dt_rank^-0.5 * dt_scale), dt_proj bias = softplus^-1 of a log-uniform
+  timestep in [dt_min, dt_max] floored at dt_init_floor; A_log = log(1..N)
+  per channel (S4D-real); D = 1.  A_log and D are fp32 no-weight-decay
+  parameters.
+- ``MambaLayer``: Vivim's prenorm residual block
+  (/root/reference/modeling/vivim.py:111-159):
+  ``x + DropPath(Mamba(LN(x)))`` then ``x + DropPath(Mlp(LN(x)))`` over
+  flattened (B, T*H*W, C) tokens.
+
+Streaming single-token decode lives in ``vivim_tpu.nn.streaming``.
+"""
+
+from __future__ import annotations
+
+import math
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import linen as nn
+
+from vivim_tpu.kernels.mamba_inner import mamba_inner
+from vivim_tpu.nn.layers import DropPath, Mlp, torch_linear_init
+
+
+def _dt_bias_init(dt_min, dt_max, dt_init_floor):
+    def init(key, shape, dtype=jnp.float32):
+        dt = jnp.exp(
+            jax.random.uniform(key, shape, jnp.float32)
+            * (math.log(dt_max) - math.log(dt_min))
+            + math.log(dt_min)
+        )
+        dt = jnp.maximum(dt, dt_init_floor)
+        # inverse of softplus
+        return (dt + jnp.log(-jnp.expm1(-dt))).astype(dtype)
+
+    return init
+
+
+def _a_log_init(d_state):
+    def init(key, shape, dtype=jnp.float32):
+        del key
+        d_inner = shape[0]
+        a = jnp.tile(jnp.arange(1, d_state + 1, dtype=jnp.float32)[None, :],
+                     (d_inner, 1))
+        return jnp.log(a).astype(dtype)
+
+    return init
+
+
+def _conv_init(width):
+    """torch Conv1d default for depthwise: U(+-sqrt(1/width))."""
+    bound = math.sqrt(1.0 / width)
+
+    def init(key, shape, dtype=jnp.float32):
+        return jax.random.uniform(key, shape, dtype, -bound, bound)
+
+    return init
+
+
+def frame_to_position_major(x, nframes: int):
+    """(B, T*S, C) frame-major tokens -> (B, S*T, C) position-major.
+
+    Equivalent to the reference's chunk/stack/flatten at
+    mamba_simple.py:245-247: the scan then runs across frames at a fixed
+    spatial position.
+    """
+    B, L, C = x.shape
+    S = L // nframes
+    return x.reshape(B, nframes, S, C).transpose(0, 2, 1, 3).reshape(B, L, C)
+
+
+def position_to_frame_major(x, nframes: int):
+    """Inverse of frame_to_position_major (mamba_simple.py:261)."""
+    B, L, C = x.shape
+    S = L // nframes
+    return x.reshape(B, S, nframes, C).transpose(0, 2, 1, 3).reshape(B, L, C)
+
+
+class MambaV3(nn.Module):
+    """Selective-SSM mixer with optional bi/tri-directional scans."""
+
+    d_model: int
+    d_state: int = 16
+    d_conv: int = 4
+    expand: int = 2
+    dt_rank: int | None = None  # None -> ceil(d_model / 16)
+    dt_min: float = 0.001
+    dt_max: float = 0.1
+    dt_scale: float = 1.0
+    dt_init_floor: float = 1e-4
+    conv_bias: bool = True
+    bias: bool = False
+    bimamba_type: str = "v3"
+    scan_implementation: str | None = None  # None -> pallas on TPU
+
+    @property
+    def d_inner(self):
+        return self.expand * self.d_model
+
+    @property
+    def _dt_rank(self):
+        return self.dt_rank or math.ceil(self.d_model / 16)
+
+    def _direction_params(self, suffix: str):
+        """One directional scan's parameter set (conv, projections, A, D)."""
+        d_inner, n, rank = self.d_inner, self.d_state, self._dt_rank
+        dt_std = rank**-0.5 * self.dt_scale
+        p = {
+            "conv_w": self.param(f"conv1d{suffix}_kernel",
+                                 _conv_init(self.d_conv),
+                                 (self.d_conv, d_inner)),
+            "conv_b": (self.param(f"conv1d{suffix}_bias",
+                                  _conv_init(self.d_conv), (d_inner,))
+                       if self.conv_bias else None),
+            "x_proj": self.param(f"x_proj{suffix}_kernel",
+                                 torch_linear_init(),
+                                 (rank + 2 * n, d_inner)),
+            "dt_proj": self.param(
+                f"dt_proj{suffix}_kernel",
+                lambda key, shape: jax.random.uniform(
+                    key, shape, jnp.float32, -dt_std, dt_std),
+                (d_inner, rank)),
+            "dt_bias": self.param(
+                f"dt_proj{suffix}_bias",
+                _dt_bias_init(self.dt_min, self.dt_max, self.dt_init_floor),
+                (d_inner,)),
+            "A_log": self.param(f"A{suffix}_log", _a_log_init(n), (d_inner, n)),
+            "D": self.param(f"D{suffix}", nn.initializers.ones, (d_inner,)),
+        }
+        return p
+
+    def _scan(self, xz, p):
+        return mamba_inner(
+            xz,
+            p["conv_w"],
+            p["conv_b"],
+            p["x_proj"],
+            p["dt_proj"],
+            -jnp.exp(p["A_log"].astype(jnp.float32)),
+            D=p["D"].astype(jnp.float32),
+            delta_bias=p["dt_bias"].astype(jnp.float32),
+            delta_softplus=True,
+            implementation=self.scan_implementation,
+        )
+
+    @nn.compact
+    def __call__(self, x, nframes: int = 1):
+        """x: (B, L, d_model) frame-major tokens (L = nframes * H * W).
+
+        Returns (B, L, d_model).
+        """
+        B, L, _ = x.shape
+        d_inner = self.d_inner
+
+        in_proj = self.param("in_proj_kernel", torch_linear_init(),
+                             (2 * d_inner, self.d_model))
+        if self.bias:
+            in_bias = self.param("in_proj_bias", nn.initializers.zeros,
+                                 (2 * d_inner,))
+        xz = jnp.einsum("bld,ed->ble", x, in_proj.astype(x.dtype))
+        if self.bias:
+            xz = xz + in_bias[None, None, :]
+
+        p_f = self._direction_params("")
+        out = self._scan(xz, p_f)
+
+        if self.bimamba_type in ("v2", "v3"):
+            p_b = self._direction_params("_b")
+            out_b = self._scan(jnp.flip(xz, axis=1), p_b)
+            out = out + jnp.flip(out_b, axis=1)
+
+        if self.bimamba_type == "v3":
+            if L % nframes:
+                raise ValueError(
+                    f"seqlen {L} not divisible by nframes {nframes}")
+            p_s = self._direction_params("_s")
+            xz_s = frame_to_position_major(xz, nframes)
+            out_s = self._scan(xz_s, p_s)
+            out = out + position_to_frame_major(out_s, nframes)
+            out = out / 3.0
+        # note: the reference v2 path does NOT average (mamba_simple.py:294)
+
+        out_proj = self.param("out_proj_kernel", torch_linear_init(),
+                              (self.d_model, d_inner))
+        y = jnp.einsum("bld,od->blo", out, out_proj.astype(out.dtype))
+        if self.bias:
+            out_bias = self.param("out_proj_bias", nn.initializers.zeros,
+                                  (self.d_model,))
+            y = y + out_bias[None, None, :]
+        return y
+
+
+class MambaLayer(nn.Module):
+    """Vivim block: prenorm Mamba + prenorm Mix-FFN, with DropPath."""
+
+    dim: int
+    d_state: int = 16
+    d_conv: int = 4
+    expand: int = 2
+    mlp_ratio: float = 4.0
+    dropout_rate: float = 0.0
+    drop_path: float = 0.0
+    scan_implementation: str | None = None
+
+    @nn.compact
+    def __call__(self, x, nframes: int, H: int, W: int,
+                 deterministic: bool = True):
+        """x: (B, L, C) tokens with L = nframes * H * W."""
+        mamba = MambaV3(
+            d_model=self.dim,
+            d_state=self.d_state,
+            d_conv=self.d_conv,
+            expand=self.expand,
+            bimamba_type="v3",
+            scan_implementation=self.scan_implementation,
+            name="mamba",
+        )
+        drop_path = DropPath(self.drop_path)
+        h = nn.LayerNorm(name="norm1")(x)
+        x = x + drop_path(mamba(h, nframes=nframes), deterministic)
+        h = nn.LayerNorm(name="norm2")(x)
+        mlp = Mlp(self.dim, int(self.dim * self.mlp_ratio),
+                  dropout_rate=self.dropout_rate, name="mlp")
+        x = x + drop_path(mlp(h, nframes, H, W, deterministic), deterministic)
+        return x
