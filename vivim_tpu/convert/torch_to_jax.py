@@ -1,0 +1,150 @@
+"""Convert PyTorch SegFormer / Vivim weights to vivim_tpu Flax params.
+
+Covers the external model dependency of the reference
+(nvidia/segformer-b3-finetuned-ade-512-512 loaded at
+/root/reference/modeling/vivim.py:264) and — via ``vivim_params_from_torch``
+— reference Lightning checkpoints (state_dict with a ``model.`` prefix,
+stripped as in /root/reference/inference.py:217-225).
+
+Tensors may be torch.Tensors or numpy arrays; torch is only imported lazily
+so the core framework has no torch dependency.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+
+def _np(t):
+    if isinstance(t, np.ndarray):
+        return t
+    try:  # torch tensor
+        return t.detach().cpu().numpy()
+    except AttributeError:
+        return np.asarray(t)
+
+
+def _linear(sd, prefix):
+    out = {"kernel": _np(sd[f"{prefix}.weight"]).T}
+    if f"{prefix}.bias" in sd:
+        out["bias"] = _np(sd[f"{prefix}.bias"])
+    return out
+
+
+def _conv(sd, prefix, depthwise=False):
+    w = _np(sd[f"{prefix}.weight"])  # torch (O, I/g, kh, kw)
+    w = np.transpose(w, (2, 3, 1, 0))  # -> (kh, kw, I/g, O)
+    out = {"kernel": w}
+    if f"{prefix}.bias" in sd:
+        out["bias"] = _np(sd[f"{prefix}.bias"])
+    return out
+
+
+def _ln(sd, prefix):
+    return {"scale": _np(sd[f"{prefix}.weight"]),
+            "bias": _np(sd[f"{prefix}.bias"])}
+
+
+def segformer_encoder_params_from_torch(sd, cfg, prefix="segformer.encoder"):
+    """HF SegformerEncoder state_dict -> params for nn.segformer.SegformerEncoder."""
+    params = {}
+    for i in range(cfg.num_stages):
+        stage = {"embed": {
+            "proj": _conv(sd, f"{prefix}.patch_embeddings.{i}.proj"),
+            "norm": _ln(sd, f"{prefix}.patch_embeddings.{i}.layer_norm"),
+        }}
+        for j in range(cfg.depths[i]):
+            lp = f"{prefix}.block.{i}.{j}"
+            attn = {
+                "query": _linear(sd, f"{lp}.attention.self.query"),
+                "key": _linear(sd, f"{lp}.attention.self.key"),
+                "value": _linear(sd, f"{lp}.attention.self.value"),
+                "proj": _linear(sd, f"{lp}.attention.output.dense"),
+            }
+            if cfg.sr_ratios[i] > 1:
+                attn["sr"] = _conv(sd, f"{lp}.attention.self.sr")
+                attn["sr_norm"] = _ln(sd, f"{lp}.attention.self.layer_norm")
+            stage[f"layer_{j}"] = {
+                "norm1": _ln(sd, f"{lp}.layer_norm_1"),
+                "attn": attn,
+                "norm2": _ln(sd, f"{lp}.layer_norm_2"),
+                "ffn": {
+                    "dense1": _linear(sd, f"{lp}.mlp.dense1"),
+                    "dwconv": _conv(sd, f"{lp}.mlp.dwconv.dwconv"),
+                    "dense2": _linear(sd, f"{lp}.mlp.dense2"),
+                },
+            }
+        params[f"stage_{i}"] = stage
+        params[f"norm_{i}"] = _ln(sd, f"{prefix}.layer_norm.{i}")
+    return params
+
+
+def segformer_decode_head_params_from_torch(sd, cfg, prefix="decode_head",
+                                            include_classifier=True):
+    """HF SegformerDecodeHead state_dict -> (params, batch_stats)."""
+    params = {}
+    for i in range(cfg.num_stages):
+        params[f"linear_c_{i}"] = _linear(sd, f"{prefix}.linear_c.{i}.proj")
+    params["linear_fuse"] = _conv(sd, f"{prefix}.linear_fuse")
+    params["batch_norm"] = {
+        "scale": _np(sd[f"{prefix}.batch_norm.weight"]),
+        "bias": _np(sd[f"{prefix}.batch_norm.bias"]),
+    }
+    batch_stats = {"batch_norm": {
+        "mean": _np(sd[f"{prefix}.batch_norm.running_mean"]),
+        "var": _np(sd[f"{prefix}.batch_norm.running_var"]),
+    }}
+    if include_classifier and f"{prefix}.classifier.weight" in sd:
+        params["classifier"] = _conv(sd, f"{prefix}.classifier")
+    return params, batch_stats
+
+
+def segformer_params_from_torch(sd, cfg):
+    """Full HF SegformerForSemanticSegmentation -> flax variables dict."""
+    enc = segformer_encoder_params_from_torch(sd, cfg)
+    head, stats = segformer_decode_head_params_from_torch(sd, cfg)
+    return {
+        "params": {"encoder": enc, "decode_head": head},
+        "batch_stats": {"decode_head": stats},
+    }
+
+
+# ---------------------------------------------------------------------------
+# Mamba / Vivim conversion
+# ---------------------------------------------------------------------------
+
+
+def mamba_params_from_torch(sd, prefix):
+    """Reference Mamba (bimamba v3) module weights -> MambaV3 params.
+
+    Name map (mamba_simple.py:69-186): in_proj/out_proj Linears; per
+    direction suffix s in {"", "_b", "_s"}: conv1d{s} depthwise
+    (d_inner, 1, width) -> (width, d_inner); x_proj{s}; dt_proj{s}
+    (weight + bias); A{s}_log; D{s}.
+    """
+    p = {}
+    p["in_proj_kernel"] = _np(sd[f"{prefix}.in_proj.weight"])
+    if f"{prefix}.in_proj.bias" in sd:
+        p["in_proj_bias"] = _np(sd[f"{prefix}.in_proj.bias"])
+    p["out_proj_kernel"] = _np(sd[f"{prefix}.out_proj.weight"])
+    if f"{prefix}.out_proj.bias" in sd:
+        p["out_proj_bias"] = _np(sd[f"{prefix}.out_proj.bias"])
+    for s in ("", "_b", "_s"):
+        if f"{prefix}.A{s}_log" not in sd:
+            continue
+        conv_w = _np(sd[f"{prefix}.conv1d{s}.weight"])  # (d, 1, w)
+        p[f"conv1d{s}_kernel"] = np.transpose(conv_w[:, 0, :], (1, 0))
+        if f"{prefix}.conv1d{s}.bias" in sd:
+            p[f"conv1d{s}_bias"] = _np(sd[f"{prefix}.conv1d{s}.bias"])
+        p[f"x_proj{s}_kernel"] = _np(sd[f"{prefix}.x_proj{s}.weight"])
+        p[f"dt_proj{s}_kernel"] = _np(sd[f"{prefix}.dt_proj{s}.weight"])
+        p[f"dt_proj{s}_bias"] = _np(sd[f"{prefix}.dt_proj{s}.bias"])
+        p[f"A{s}_log"] = _np(sd[f"{prefix}.A{s}_log"])
+        p[f"D{s}"] = _np(sd[f"{prefix}.D{s}"])
+    return p
+
+
+def strip_lightning_prefix(sd, prefix="model."):
+    """Strip the Lightning wrapper prefix (inference.py:217-225 semantics)."""
+    return {k[len(prefix):] if k.startswith(prefix) else k: v
+            for k, v in sd.items()}

@@ -1,0 +1,195 @@
+"""Clip datasets: indexing, loading, and per-clip tensor assembly.
+
+Re-design of /root/reference/Multiclass_Data.py (MainDataset :12-234,
+TestDataset :239-348, DynamicDataset :351-577) as one index-based dataset:
+
+- Videos are directories of ``{idx}_frame.png`` files with sibling masks
+  ``{idx}_background.png`` / ``{idx}_solid.png`` / ``{idx}_non-solid.png``
+  (missing masks -> zeros, Multiclass_Data.py:186-193).
+- Clips are non-overlapping odd-length windows (clips.py); per-video counts
+  are capped equispaced (static) or randomly per epoch (dynamic).
+- Images: bilinear resize to (size, size), [0,1], ImageNet normalization.
+  Masks: NEAREST resize, stacked to a (3,) one-hot-ish channel dim.
+  Edge maps: per-class distance-transform band of radius 2
+  (Multiclass_Data.py:220-234).
+- Everything is channels-last numpy: clip (T, S, S, 3) float32, masks
+  (T, S, S, C) float32, edges (T, S, S, 1) float32.
+
+Unlike the reference (which copies frames into per-fold trees before
+loading), this dataset reads from an index of paths; the fold splitter can
+still materialize copied trees for compatibility (folds.py).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import os
+import random as _random
+import re
+from typing import Sequence
+
+import numpy as np
+from PIL import Image
+
+from vivim_tpu.data import clips as clips_lib
+from vivim_tpu.data import augment as aug
+
+MULTICLASS_KEYS = ("background", "solid", "non-solid")
+
+
+@dataclasses.dataclass(frozen=True)
+class ClipRecord:
+    """One clip: absolute frame paths within a single video."""
+
+    video: str
+    frame_paths: tuple
+
+
+def _frame_sort_key(name: str):
+    m = re.match(r"(\d+)", os.path.splitext(name)[0])
+    return int(m.group(1)) if m else 0
+
+
+def index_video_tree(root: str):
+    """Index {root}/{video}/NNNN_frame.png trees -> {video: [frame paths]}."""
+    videos = {}
+    for vid in sorted(os.listdir(root)):
+        vid_dir = os.path.join(root, vid)
+        if not os.path.isdir(vid_dir):
+            continue
+        frames = sorted(
+            (f for f in os.listdir(vid_dir)
+             if f.endswith(".png") and "frame" in f.lower()),
+            key=_frame_sort_key)
+        if frames:
+            videos[vid] = [os.path.join(vid_dir, f) for f in frames]
+    return videos
+
+
+def mask_path_for(frame_path: str, key: str) -> str:
+    base = os.path.splitext(frame_path)[0]
+    return base.replace("frame", key) + ".png"
+
+
+def _edge_map(onehot: np.ndarray, radius: int = 2) -> np.ndarray:
+    """(H, W, C) {0,1} masks -> (H, W, 1) edge band (EDT in + out <= radius),
+    summed over classes (Multiclass_Data.py:220-234)."""
+    from scipy.ndimage import distance_transform_edt
+
+    H, W, C = onehot.shape
+    emap = np.zeros((H, W), np.uint8)
+    for c in range(C):
+        m = np.pad(onehot[:, :, c], 1)
+        dist = distance_transform_edt(m) + distance_transform_edt(1 - m)
+        emap += (dist[1:-1, 1:-1] <= radius).astype(np.uint8)
+    return emap[:, :, None].astype(np.float32)
+
+
+class ClipDataset:
+    """Multiclass clip dataset over an indexed video tree.
+
+    Args:
+      root: directory of video subdirs.
+      size: square resize target.
+      clip_len: odd window length.
+      max_num: per-video clip cap (max_numerosity).
+      augment: intensity preset, or None / "none" for eval.
+      mask_keys: mask channel names (MULTICLASS_KEYS, or ("background",)
+        for the binary task).
+      dynamic: resample the per-video clip subset each epoch.
+      seed: base seed for dynamic selection and augmentation.
+      with_edges: compute edge maps.
+    """
+
+    def __init__(self, root, size, clip_len=3, max_num=None, augment="medium",
+                 mask_keys=MULTICLASS_KEYS, dynamic=False, seed=42,
+                 with_edges=True, invert_background=False):
+        if clip_len % 2 != 1:
+            raise ValueError("clip_len must be odd")
+        self.root = root
+        self.size = size
+        self.clip_len = clip_len
+        self.max_num = max_num
+        self.augment = augment if augment else "none"
+        self.mask_keys = tuple(mask_keys)
+        self.dynamic = dynamic
+        self.seed = seed
+        self.epoch = 0
+        self.with_edges = with_edges
+        self.invert_background = invert_background
+        self.videos = index_video_tree(root)
+        self._rebuild()
+
+    def _rebuild(self):
+        samples = []
+        for vid, frames in self.videos.items():
+            windows = clips_lib.sliding_clip_windows(len(frames), self.clip_len)
+            if self.dynamic:
+                windows = clips_lib.select_random(
+                    windows, self.max_num, self.seed, self.epoch)
+            else:
+                windows = clips_lib.select_equispaced(windows, self.max_num)
+            for w in windows:
+                samples.append(ClipRecord(
+                    vid, tuple(frames[i] for i in w)))
+        self.samples = samples
+
+    def set_epoch(self, epoch: int):
+        """Dynamic mode: re-draw the per-video clip subsets (the reference
+        rebuilds the DataLoader per epoch, dyn_multiclass_training.py:739-747)."""
+        self.epoch = epoch
+        if self.dynamic:
+            self._rebuild()
+
+    def __len__(self):
+        return len(self.samples)
+
+    def load_clip(self, idx: int, rng: _random.Random | None = None):
+        """Returns dict(clip, masks, edges?, paths)."""
+        rec = self.samples[idx]
+        S = self.size
+        do_aug = self.augment != "none"
+        rng = rng or _random.Random(self.seed * 1_000_003 + idx * 31 + self.epoch)
+
+        imgs, mask_sets = [], []
+        for p in rec.frame_paths:
+            img = Image.open(p).convert("RGB")
+            masks = []
+            for key in self.mask_keys:
+                mp = mask_path_for(p, key)
+                if os.path.exists(mp):
+                    m = Image.open(mp).convert("L")
+                else:
+                    m = Image.new("L", img.size, 0)
+                masks.append(m)
+            if do_aug:
+                img, masks = aug.apply_augmentation(
+                    img, masks, self.augment, rng)
+            imgs.append(img)
+            mask_sets.append(masks)
+
+        clip = np.stack([
+            aug.normalize_image(
+                np.asarray(im.resize((S, S), Image.BILINEAR), np.float32)
+                / 255.0)
+            for im in imgs])
+        mask_arrs, edges = [], []
+        for masks in mask_sets:
+            chans = [np.asarray(m.resize((S, S), Image.NEAREST), np.float32)
+                     / 255.0 for m in masks]
+            onehot = np.stack(chans, axis=-1)
+            if self.invert_background:
+                # binary pipeline: background mask marks non-lesion
+                # (complements/main_dataset.py:14-15 invert_mask)
+                onehot = 1.0 - onehot
+            mask_arrs.append(onehot)
+            if self.with_edges:
+                edges.append(_edge_map((onehot > 0.5).astype(np.uint8)))
+        out = {
+            "clip": clip.astype(np.float32),
+            "masks": np.stack(mask_arrs).astype(np.float32),
+            "paths": rec.frame_paths,
+        }
+        if self.with_edges:
+            out["edges"] = np.stack(edges).astype(np.float32)
+        return out

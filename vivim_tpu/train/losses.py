@@ -1,0 +1,181 @@
+"""Segmentation loss suite (channels-last, fully vectorized, jit-safe).
+
+Semantics from the reference training scripts
+(/root/reference/multiclass_training_folds.py:182-423,
+final_multiclass_training.py:403-445, modeling/utils.py:89-102):
+
+- ``dice_loss`` (:182-216): softmax probs, per-class soft Dice over (H, W),
+  batch-mean per class, class-mean.
+- ``tversky_loss`` (:218-255): alpha=0.3 (FP) / beta=0.7 (FN) to favor
+  recall.
+- ``class_balanced_focal_loss`` (:363-423): per-class one-vs-rest BCE with
+  focal weight ``t(1-p)^g + (1-t)p^g`` and class weights alpha (auto =
+  normalized inverse frequency when None); per-class means are *summed*.
+- ``recall_focused_loss`` (:339-361): the production loss —
+  ``0.4*focal(alpha=[.05,.475,.475], gamma=2) + 0.6*tversky(.3/.7)``.
+- ``combined_focal_dice_loss`` (:316-337): ``(1-w)*focal(gamma=3) + w*dice``.
+- ``boundary_aware_loss`` (:257-314): CE + boundary-masked per-class BCE,
+  boundary = clipped forward-difference gradient of the one-hot target.
+- ``multiclass_structure_loss`` (final_multiclass_training.py:403-445) /
+  ``structure_loss`` (modeling/utils.py:89-102): weighted BCE + weighted IoU
+  with a 31x31 mean-pool boundary-emphasis weight map.
+
+All functions take ``logits (N, H, W, C)`` and integer ``targets (N, H, W)``
+(binary structure_loss takes (N, H, W, 1) logits and float masks) and
+compute in fp32.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+_EPS = 1e-6
+
+
+def _onehot(targets, num_classes):
+    return jax.nn.one_hot(targets, num_classes, dtype=jnp.float32)
+
+
+def _probs(logits):
+    return jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
+
+
+def dice_loss(logits, targets, num_classes=None, smooth=_EPS):
+    C = num_classes or logits.shape[-1]
+    p = _probs(logits)
+    t = _onehot(targets, C)
+    inter = jnp.sum(p * t, axis=(1, 2))          # (N, C)
+    union = jnp.sum(p, axis=(1, 2)) + jnp.sum(t, axis=(1, 2))
+    dice = (2.0 * inter + smooth) / (union + smooth)
+    return jnp.mean(1.0 - jnp.mean(dice, axis=0))
+
+
+def tversky_loss(logits, targets, num_classes=None, alpha=0.3, beta=0.7,
+                 smooth=_EPS):
+    C = num_classes or logits.shape[-1]
+    p = _probs(logits)
+    t = _onehot(targets, C)
+    tp = jnp.sum(p * t, axis=(1, 2))
+    fp = jnp.sum(p * (1.0 - t), axis=(1, 2))
+    fn = jnp.sum((1.0 - p) * t, axis=(1, 2))
+    tv = (tp + smooth) / (tp + alpha * fp + beta * fn + smooth)
+    return jnp.mean(1.0 - jnp.mean(tv, axis=0))
+
+
+def class_balanced_focal_loss(logits, targets, num_classes=None, gamma=2.0,
+                              alpha=None):
+    C = num_classes or logits.shape[-1]
+    p = _probs(logits)
+    t = _onehot(targets, C)
+    if alpha is None:
+        counts = jnp.sum(t, axis=(0, 1, 2)) + _EPS  # (C,)
+        total = jnp.asarray(t.shape[0] * t.shape[1] * t.shape[2], jnp.float32)
+        w = total / (C * counts)
+        alpha = w / jnp.sum(w)
+    else:
+        alpha = jnp.asarray(alpha, jnp.float32)
+    focal_w = t * (1.0 - p) ** gamma + (1.0 - t) * p**gamma
+    bce = -t * jnp.log(p + _EPS) - (1.0 - t) * jnp.log(1.0 - p + _EPS)
+    per_class = jnp.mean(alpha[None, None, None, :] * focal_w * bce,
+                         axis=(0, 1, 2))
+    return jnp.sum(per_class)
+
+
+def recall_focused_loss(logits, targets, num_classes=None, gamma=2.0,
+                        alpha=(0.05, 0.475, 0.475)):
+    """The production loss (multiclass_training_folds.py:339-361)."""
+    tv = tversky_loss(logits, targets, num_classes, alpha=0.3, beta=0.7)
+    fo = class_balanced_focal_loss(logits, targets, num_classes, gamma,
+                                   alpha=alpha)
+    return 0.4 * fo + 0.6 * tv
+
+
+def combined_focal_dice_loss(logits, targets, num_classes=None, gamma=3.0,
+                             alpha=None, dice_weight=0.5):
+    fo = class_balanced_focal_loss(logits, targets, num_classes, gamma, alpha)
+    di = dice_loss(logits, targets, num_classes)
+    return (1.0 - dice_weight) * fo + dice_weight * di
+
+
+def cross_entropy(logits, targets, num_classes=None):
+    C = num_classes or logits.shape[-1]
+    logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
+    t = _onehot(targets, C)
+    return -jnp.mean(jnp.sum(t * logp, axis=-1))
+
+
+def boundary_aware_loss(logits, targets, num_classes=None, weight=0.5):
+    C = num_classes or logits.shape[-1]
+    p = _probs(logits)
+    t = _onehot(targets, C)  # (N, H, W, C)
+    gx = jnp.abs(jnp.diff(t, axis=2, append=t[:, :, -1:, :]))
+    gy = jnp.abs(jnp.diff(t, axis=1, append=t[:, -1:, :, :]))
+    boundary = jnp.clip(gx + gy, 0.0, 1.0)
+    interior = cross_entropy(logits, targets, C)
+    bce = -t * jnp.log(p + _EPS) - (1.0 - t) * jnp.log(1.0 - p + _EPS)
+    bl = jnp.mean(boundary * bce, axis=(0, 1, 2))  # per class
+    return interior + weight * jnp.sum(bl) / C
+
+
+def _mean_pool_31(x):
+    """31x31 stride-1 mean pool with zero padding and constant divisor
+    (torch avg_pool2d count_include_pad=True). x: (N, H, W, 1)."""
+    s = jax.lax.reduce_window(
+        x, 0.0, jax.lax.add, (1, 31, 31, 1), (1, 1, 1, 1),
+        [(0, 0), (15, 15), (15, 15), (0, 0)])
+    return s / (31.0 * 31.0)
+
+
+def _weighted_structure(pred_logit, mask, eps):
+    """Weighted BCE + weighted IoU for one binary channel.
+
+    pred_logit, mask: (N, H, W, 1).
+    """
+    pred_logit = pred_logit.astype(jnp.float32)
+    mask = mask.astype(jnp.float32)
+    weit = 1.0 + 5.0 * jnp.abs(_mean_pool_31(mask) - mask)
+    # numerically-stable BCE with logits
+    wbce = (jnp.maximum(pred_logit, 0.0) - pred_logit * mask
+            + jnp.log1p(jnp.exp(-jnp.abs(pred_logit))))
+    wbce = jnp.sum(weit * wbce, axis=(1, 2, 3)) / jnp.sum(weit, axis=(1, 2, 3))
+    prob = jax.nn.sigmoid(pred_logit)
+    inter = jnp.sum(prob * mask * weit, axis=(1, 2, 3))
+    union = jnp.sum((prob + mask) * weit, axis=(1, 2, 3))
+    wiou = 1.0 - (inter + eps) / (union - inter + eps)
+    return jnp.mean(wbce + wiou)
+
+
+def multiclass_structure_loss(logits, targets, num_classes=None, eps=_EPS):
+    C = num_classes or logits.shape[-1]
+    t = _onehot(targets, C)
+    losses = [
+        _weighted_structure(logits[..., c : c + 1], t[..., c : c + 1], eps)
+        for c in range(C)
+    ]
+    return sum(losses) / C
+
+
+def structure_loss(pred, mask, iou=True):
+    """Binary weighted BCE(+IoU) (modeling/utils.py:89-102; eps=1)."""
+    if iou:
+        return _weighted_structure(pred, mask, eps=1.0)
+    pred = pred.astype(jnp.float32)
+    mask = mask.astype(jnp.float32)
+    weit = 1.0 + 5.0 * jnp.abs(_mean_pool_31(mask) - mask)
+    wbce = (jnp.maximum(pred, 0.0) - pred * mask
+            + jnp.log1p(jnp.exp(-jnp.abs(pred))))
+    wbce = jnp.sum(weit * wbce, axis=(1, 2, 3)) / jnp.sum(weit, axis=(1, 2, 3))
+    return jnp.mean(wbce)
+
+
+LOSSES = {
+    "recall_focused": recall_focused_loss,
+    "dice": dice_loss,
+    "tversky": tversky_loss,
+    "focal": class_balanced_focal_loss,
+    "combined_focal_dice": combined_focal_dice_loss,
+    "boundary_aware": boundary_aware_loss,
+    "multiclass_structure": multiclass_structure_loss,
+    "cross_entropy": cross_entropy,
+}
