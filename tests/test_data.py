@@ -118,5 +118,8 @@ def test_index_video_tree_ordering(tmp_path):
     root = make_gathered_tree(str(tmp_path / "t"), n_videos=1, n_frames=12)
     videos = index_video_tree(root)
     frames = videos["video_0"]
-    nums = [int(os.path.basename(f).split("_")[0]) for f in frames]
+    nums = [int(os.path.basename(e["frame"]).split("_")[0]) for e in frames]
     assert nums == sorted(nums)
+    # mask paths resolved, missing ones None
+    assert frames[0]["background"] is not None
+    assert frames[0]["non-solid"] is None  # i % 3 == 0 frames lack it

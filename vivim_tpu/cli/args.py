@@ -1,0 +1,60 @@
+"""Shared training CLI flags — superset of the reference's cfg.py:4-42.
+
+Flags accept both single-dash (reference style: ``-image_size``) and
+double-dash forms.  Hard-coded dataset roots in the reference
+(final_multiclass_training.py:448, inference.py:139) are lifted into flags.
+"""
+
+from __future__ import annotations
+
+import argparse
+
+
+def _add(parser, name, **kw):
+    parser.add_argument(f"-{name}", f"--{name}", **kw)
+
+
+def str2bool(v):
+    return str(v).lower() in ("1", "true", "yes", "y")
+
+
+def build_train_parser(description="vivim_tpu training"):
+    p = argparse.ArgumentParser(description=description)
+    _add(p, "net", type=str, default="Vivim")
+    _add(p, "exp_name", type=str, default="vivim_train")
+    _add(p, "pretrain", type=str, default=None,
+         help="path of pretrained weights (orbax params dir or torch ckpt)")
+    _add(p, "val_freq", type=int, default=5)
+    _add(p, "image_size", type=int, default=256)
+    _add(p, "train_bs", type=int, default=1)
+    _add(p, "val_bs", type=int, default=1)
+    _add(p, "test_bs", type=int, default=1)
+    _add(p, "initlr", type=float, default=1e-4)
+    _add(p, "weight_decay", type=float, default=1e-2)
+    _add(p, "data_path", type=str, default=None,
+         help="root of the fold tree (train_folds) or train tree (final)")
+    _add(p, "clip_length", type=int, default=3)
+    _add(p, "epochs", type=int, default=10)
+    _add(p, "resume_path", type=str, default=None)
+    _add(p, "save_path", type=str, default="runs")
+    _add(p, "num_workers", type=int, default=2)
+    _add(p, "val_aug", type=str2bool, default=False)
+    _add(p, "with_edge", type=str2bool, default=False)
+    _add(p, "num_classes", type=int, default=3)
+    _add(p, "num_folds", type=int, default=5)
+    _add(p, "seed", type=int, default=42)
+    _add(p, "cv_group", type=str, default=None)
+    _add(p, "max_numerosity", type=int, default=None,
+         help="max clips per video (equispaced, or random when -dynamic)")
+    _add(p, "dynamic", type=str2bool, default=False,
+         help="re-draw the per-video clip subset every epoch (_dyn scripts)")
+    _add(p, "augment_intensity", type=str, default="medium",
+         choices=["none", "light", "medium", "heavy"])
+    _add(p, "loss", type=str, default="recall_focused")
+    _add(p, "wandb", type=str2bool, default=False)
+    _add(p, "bf16", type=str2bool, default=False,
+         help="run the model in bfloat16 activations")
+    _add(p, "n_devices", type=int, default=None,
+         help="number of devices for the data-parallel mesh")
+    _add(p, "segformer", type=str, default="b3", choices=["b0", "b3", "tiny"])
+    return p

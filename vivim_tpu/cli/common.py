@@ -1,0 +1,63 @@
+"""Shared CLI plumbing: model/dataset construction from parsed args."""
+
+from __future__ import annotations
+
+import os
+
+from vivim_tpu.data.dataset import ClipDataset, MULTICLASS_KEYS
+from vivim_tpu.data.loader import DataLoader
+from vivim_tpu.nn import segformer as sf
+from vivim_tpu.nn.vivim import Vivim, VivimConfig
+
+
+def build_model(args):
+    seg = {"b0": sf.mit_b0, "b3": sf.mit_b3,
+           "tiny": sf.mit_tiny_test}[args.segformer]()
+    cfg = VivimConfig(
+        out_chans=args.num_classes,
+        with_edge=args.with_edge,
+        feat_size=seg.hidden_sizes,
+        hidden_size=seg.decoder_hidden_size if args.segformer != "b3" else 768,
+        segformer=seg,
+    )
+    return Vivim(cfg), cfg
+
+
+def build_loaders(args, train_root, val_root=None, dynamic=False):
+    train_ds = ClipDataset(
+        train_root, size=args.image_size, clip_len=args.clip_length,
+        max_num=args.max_numerosity, augment=args.augment_intensity,
+        dynamic=dynamic, seed=args.seed, with_edges=args.with_edge)
+    train_dl = DataLoader(train_ds, args.train_bs, shuffle=True,
+                          num_workers=args.num_workers, seed=args.seed)
+    val_dl = None
+    if val_root is not None:
+        val_ds = ClipDataset(
+            val_root, size=args.image_size, clip_len=args.clip_length,
+            max_num=None,
+            augment=args.augment_intensity if args.val_aug else "none",
+            seed=args.seed, with_edges=args.with_edge)
+        val_dl = DataLoader(val_ds, args.val_bs, shuffle=False,
+                            num_workers=args.num_workers, drop_last=False,
+                            seed=args.seed)
+    return train_dl, val_dl
+
+
+def maybe_load_pretrained(args, model, state):
+    """Partial-weight init from a pretrained params dir
+    (init_weight semantics: overlapping keys only,
+    multiclass_training_folds.py:519-532)."""
+    if not args.pretrain:
+        return state
+    from vivim_tpu.train.checkpoints import load_params
+    import jax
+
+    loaded = load_params(args.pretrain, state.params)
+    flat_cur = dict(jax.tree_util.tree_flatten_with_path(state.params)[0])
+    flat_new = dict(jax.tree_util.tree_flatten_with_path(loaded)[0])
+    merged = {k: flat_new.get(k, v) for k, v in flat_cur.items()}
+    treedef = jax.tree_util.tree_structure(state.params)
+    params = jax.tree_util.tree_unflatten(treedef, [
+        merged[k] for k, _ in jax.tree_util.tree_flatten_with_path(
+            state.params)[0]])
+    return state.replace(params=params)

@@ -39,10 +39,14 @@ MULTICLASS_KEYS = ("background", "solid", "non-solid")
 
 @dataclasses.dataclass(frozen=True)
 class ClipRecord:
-    """One clip: absolute frame paths within a single video."""
+    """One clip: per-frame entries (dicts with 'frame' + mask-key paths)."""
 
     video: str
-    frame_paths: tuple
+    frames: tuple
+
+    @property
+    def frame_paths(self):
+        return tuple(e["frame"] for e in self.frames)
 
 
 def _frame_sort_key(name: str):
@@ -50,8 +54,12 @@ def _frame_sort_key(name: str):
     return int(m.group(1)) if m else 0
 
 
-def index_video_tree(root: str):
-    """Index {root}/{video}/NNNN_frame.png trees -> {video: [frame paths]}."""
+def index_video_tree(root: str, mask_keys=MULTICLASS_KEYS):
+    """Index {root}/{video}/NNNN_frame.png trees.
+
+    Returns {video: [entry dicts]} where each entry maps 'frame' and each
+    mask key to a path (or None when the mask file is absent).
+    """
     videos = {}
     for vid in sorted(os.listdir(root)):
         vid_dir = os.path.join(root, vid)
@@ -61,8 +69,16 @@ def index_video_tree(root: str):
             (f for f in os.listdir(vid_dir)
              if f.endswith(".png") and "frame" in f.lower()),
             key=_frame_sort_key)
-        if frames:
-            videos[vid] = [os.path.join(vid_dir, f) for f in frames]
+        entries = []
+        for f in frames:
+            fp = os.path.join(vid_dir, f)
+            e = {"frame": fp}
+            for key in mask_keys:
+                mp = mask_path_for(fp, key)
+                e[key] = mp if os.path.exists(mp) else None
+            entries.append(e)
+        if entries:
+            videos[vid] = entries
     return videos
 
 
@@ -104,6 +120,9 @@ class ClipDataset:
     def __init__(self, root, size, clip_len=3, max_num=None, augment="medium",
                  mask_keys=MULTICLASS_KEYS, dynamic=False, seed=42,
                  with_edges=True, invert_background=False):
+        """``root`` is either a gathered video-tree directory or an index
+        dict {video: [entry dicts]} (e.g. from gather_multiclass_frames
+        with copy=False) — the zero-copy path."""
         if clip_len % 2 != 1:
             raise ValueError("clip_len must be odd")
         self.root = root
@@ -117,7 +136,10 @@ class ClipDataset:
         self.epoch = 0
         self.with_edges = with_edges
         self.invert_background = invert_background
-        self.videos = index_video_tree(root)
+        if isinstance(root, dict):
+            self.videos = {v: list(entries) for v, entries in root.items()}
+        else:
+            self.videos = index_video_tree(root, self.mask_keys)
         self._rebuild()
 
     def _rebuild(self):
@@ -131,7 +153,7 @@ class ClipDataset:
                 windows = clips_lib.select_equispaced(windows, self.max_num)
             for w in windows:
                 samples.append(ClipRecord(
-                    vid, tuple(frames[i] for i in w)))
+                    vid, tuple(frames[i] for i in w)))  # frames = entries
         self.samples = samples
 
     def set_epoch(self, epoch: int):
@@ -152,12 +174,12 @@ class ClipDataset:
         rng = rng or _random.Random(self.seed * 1_000_003 + idx * 31 + self.epoch)
 
         imgs, mask_sets = [], []
-        for p in rec.frame_paths:
-            img = Image.open(p).convert("RGB")
+        for entry in rec.frames:
+            img = Image.open(entry["frame"]).convert("RGB")
             masks = []
             for key in self.mask_keys:
-                mp = mask_path_for(p, key)
-                if os.path.exists(mp):
+                mp = entry.get(key)
+                if mp and os.path.exists(mp):
                     m = Image.open(mp).convert("L")
                 else:
                     m = Image.new("L", img.size, 0)

@@ -1,0 +1,10 @@
+"""Mesh and sharding utilities."""
+
+from vivim_tpu.parallel.mesh import (
+    make_mesh,
+    shard_batch,
+    replicate,
+    data_sharding,
+)
+
+__all__ = ["make_mesh", "shard_batch", "replicate", "data_sharding"]

@@ -1,0 +1,44 @@
+"""Device mesh and sharding helpers.
+
+The reference is single-GPU (DDP imported but never used,
+multiclass_training_folds.py:30,800-811); here data parallelism is
+first-class: a 1-D ``data`` mesh axis shards the clip batch, parameters are
+replicated, and the gradient all-reduce is inserted by XLA (GSPMD) over ICI.
+A ``seq`` axis is reserved for sequence-sharded scans (long-clip mode).
+"""
+
+from __future__ import annotations
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def make_mesh(n_devices: int | None = None, axis: str = "data",
+              devices=None) -> Mesh:
+    """1-D mesh over available devices (or an explicit device list)."""
+    if devices is None:
+        devices = jax.devices()
+        if n_devices is not None:
+            devices = devices[:n_devices]
+    return Mesh(np.array(devices), (axis,))
+
+
+def data_sharding(mesh: Mesh, axis: str = "data") -> NamedSharding:
+    """Shard the leading (batch) dimension across the data axis."""
+    return NamedSharding(mesh, P(axis))
+
+
+def replicate(tree, mesh: Mesh):
+    """Fully replicate a pytree over the mesh."""
+    sharding = NamedSharding(mesh, P())
+    return jax.device_put(tree, sharding)
+
+
+def shard_batch(batch, mesh: Mesh, axis: str = "data"):
+    """Place a host batch dict on-device, sharded along the batch dim."""
+    sharding = data_sharding(mesh, axis)
+    return jax.tree_util.tree_map(
+        lambda x: jax.device_put(x, sharding)
+        if hasattr(x, "ndim") and x.ndim >= 1 else x,
+        batch)

@@ -1,0 +1,182 @@
+"""Jitted train/eval steps and optimizer assembly.
+
+Training semantics from the reference harness
+(/root/reference/multiclass_training_folds.py):
+
+- AdamW(lr=initlr, betas=(0.9, 0.999), weight_decay=1e-2) (:503-517) with
+  global-norm gradient clipping at 1.0 and cosine annealing to
+  ``eta_min = initlr * 0.01`` over the training run (CosineAnnealingLR with
+  T_max=epochs steps per epoch; here a smooth per-step cosine over
+  epochs*steps_per_epoch — same endpoints).
+- Loss is computed over ALL clip frames: logits (B, T, H, W, C) and one-hot
+  masks are flattened to (B*T, ...) and targets are argmax class indices
+  (:545-573).
+- Train metric: micro Jaccard over the flattened frames (:571).
+
+TPU-first: one jitted step updates params + batch_stats + opt state; the
+batch is sharded over the ``data`` mesh axis and XLA inserts the gradient
+all-reduce (no Lightning/DDP machinery).  no-weight-decay parameters
+(A_log, D, biases, norms) are masked out of AdamW's decay, matching the
+``_no_weight_decay`` tagging in mamba_simple.py:116-122.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Callable
+
+import jax
+import jax.numpy as jnp
+import optax
+from flax import struct
+from flax.core import FrozenDict
+
+from vivim_tpu.train import losses as losses_lib
+
+
+class TrainState(struct.PyTreeNode):
+    step: jax.Array
+    params: Any
+    batch_stats: Any
+    opt_state: Any
+    rng: jax.Array
+
+
+def _no_decay_mask(params):
+    """True where weight decay applies: 2D+ kernels only (no biases, norms,
+    A_log, D — mirroring torch AdamW defaults + _no_weight_decay tags)."""
+
+    def mask_fn(path, p):
+        name = "/".join(str(k.key) for k in path if hasattr(k, "key"))
+        if p.ndim < 2:
+            return False
+        if "A" in name.split("/")[-1] and name.endswith("_log"):
+            return False
+        return True
+
+    return jax.tree_util.tree_map_with_path(mask_fn, params)
+
+
+def make_optimizer(lr: float, weight_decay: float, total_steps: int,
+                   eta_min_ratio: float = 0.01, clip_norm: float = 1.0):
+    schedule = optax.cosine_decay_schedule(
+        init_value=lr, decay_steps=max(total_steps, 1), alpha=eta_min_ratio)
+    return optax.chain(
+        optax.clip_by_global_norm(clip_norm),
+        optax.adamw(schedule, b1=0.9, b2=0.999, weight_decay=weight_decay,
+                    mask=_no_decay_mask),
+    ), schedule
+
+
+def create_train_state(model, sample_batch, rng, lr, weight_decay,
+                       total_steps, mesh=None):
+    init_rng, state_rng = jax.random.split(rng)
+    variables = jax.jit(model.init)(init_rng, sample_batch)
+    tx, _ = make_optimizer(lr, weight_decay, total_steps)
+    params = variables["params"]
+    batch_stats = variables.get("batch_stats", FrozenDict())
+    state = TrainState(
+        step=jnp.zeros((), jnp.int32),
+        params=params,
+        batch_stats=batch_stats,
+        opt_state=tx.init(params),
+        rng=state_rng,
+    )
+    if mesh is not None:
+        from vivim_tpu.parallel.mesh import replicate
+        state = replicate(state, mesh)
+    return state, tx
+
+
+def micro_jaccard(logits, targets, num_classes):
+    """Micro-averaged multiclass Jaccard (torchmetrics semantics)."""
+    preds = jnp.argmax(logits, axis=-1)
+    tp = fp = fn = 0.0
+    for c in range(num_classes):
+        p = preds == c
+        g = targets == c
+        tp = tp + jnp.sum(p & g)
+        fp = fp + jnp.sum(p & ~g)
+        fn = fn + jnp.sum(~p & g)
+    return tp / jnp.maximum(tp + fp + fn, 1)
+
+
+def flatten_frames(logits, masks):
+    """(B, T, H, W, C) logits + one-hot masks -> (B*T, H, W, C) logits and
+    (B*T, H, W) int targets (training_step reshape, :549-563)."""
+    B, T, H, W, C = logits.shape
+    logits = logits.reshape(B * T, H, W, C)
+    targets = jnp.argmax(masks, axis=-1).reshape(B * T, H, W)
+    return logits, targets
+
+
+def make_train_step(model, loss_fn: Callable | str = "recall_focused",
+                    num_classes: int = 3, tx=None, edge_loss_fn=None):
+    """Returns a jitted train step: (state, batch) -> (state, metrics).
+
+    ``batch``: dict with clip (B, T, H, W, 3), masks (B, T, H, W, C)
+    [, edges (B, T, H, W, 1)].
+    """
+    if isinstance(loss_fn, str):
+        loss_fn = losses_lib.LOSSES[loss_fn]
+    with_edge = edge_loss_fn is not None
+
+    @jax.jit
+    def step(state: TrainState, batch):
+        rng, new_rng = jax.random.split(jax.random.fold_in(
+            state.rng, state.step))
+
+        def compute_loss(params):
+            out, updates = model.apply(
+                {"params": params, "batch_stats": state.batch_stats},
+                batch["clip"], deterministic=False,
+                rngs={"dropout": rng}, mutable=["batch_stats"])
+            if with_edge:
+                logits5, edge5 = out
+            else:
+                logits5 = out
+            logits, targets = flatten_frames(logits5, batch["masks"])
+            loss = loss_fn(logits, targets, num_classes)
+            if with_edge:
+                loss = loss + edge_loss_fn(edge5, batch.get("edges"))
+            return loss, (logits, targets, updates)
+
+        (loss, (logits, targets, updates)), grads = jax.value_and_grad(
+            compute_loss, has_aux=True)(state.params)
+        new_params_updates, new_opt_state = tx.update(
+            grads, state.opt_state, state.params)
+        new_params = optax.apply_updates(state.params, new_params_updates)
+        new_state = state.replace(
+            step=state.step + 1,
+            params=new_params,
+            batch_stats=updates["batch_stats"],
+            opt_state=new_opt_state,
+            rng=new_rng,
+        )
+        metrics = {
+            "loss": loss,
+            "jaccard": micro_jaccard(logits, targets, num_classes),
+            "grad_norm": optax.global_norm(grads),
+        }
+        return new_state, metrics
+
+    return step
+
+
+def make_eval_step(model, loss_fn: Callable | str = "recall_focused",
+                   num_classes: int = 3, with_edge: bool = False):
+    """Jitted eval step -> (loss, logits (B*T, H, W, C), targets)."""
+    if isinstance(loss_fn, str):
+        loss_fn = losses_lib.LOSSES[loss_fn]
+
+    @jax.jit
+    def step(state: TrainState, batch):
+        out = model.apply(
+            {"params": state.params, "batch_stats": state.batch_stats},
+            batch["clip"], deterministic=True)
+        logits5 = out[0] if with_edge else out
+        logits, targets = flatten_frames(logits5, batch["masks"])
+        loss = loss_fn(logits, targets, num_classes)
+        return loss, logits, targets
+
+    return step

@@ -1,0 +1,182 @@
+"""Epoch-level trainer: the TPU-native equivalent of the reference's
+Lightning ``CoolSystem`` + ``Trainer`` (multiclass_training_folds.py:449-817).
+
+Responsibilities:
+- epoch loop with periodic validation (``check_val_every_n_epoch`` =
+  ``val_freq``, :800-811);
+- validation: loss, micro Jaccard, macro Dice, presence-gated per-class
+  tracker, aggregated confusion matrix (:575-731);
+- checkpointing on the monitored metric (val/dice max top-1 for CV;
+  train/loss min top-3 for final retrain) + resume;
+- learning-rate logging per epoch (:734-737);
+- dynamic datasets: ``set_epoch`` re-draws clip subsets per epoch
+  (dyn_multiclass_training.py:739-747).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import time
+
+import jax
+import numpy as np
+
+from vivim_tpu.train import loop as loop_lib
+from vivim_tpu.train.checkpoints import CheckpointManager
+from vivim_tpu.train.logging import MetricLogger
+from vivim_tpu.train.metrics import MulticlassMetricsTracker, per_class_confusion
+
+
+@dataclasses.dataclass
+class TrainerConfig:
+    epochs: int = 50
+    val_freq: int = 1
+    lr: float = 1e-4
+    weight_decay: float = 1e-2
+    num_classes: int = 3
+    loss: str = "recall_focused"
+    monitor: str = "val/dice"
+    monitor_mode: str = "max"
+    top_k: int = 1
+    log_every: int = 10
+    seed: int = 42
+
+
+def confusion_matrix_from_labels(preds, targets, num_classes):
+    """Aggregated C x C confusion matrix (rows = GT, cols = pred)."""
+    cm = np.zeros((num_classes, num_classes), np.int64)
+    idx = targets.reshape(-1) * num_classes + preds.reshape(-1)
+    counts = np.bincount(idx, minlength=num_classes * num_classes)
+    return cm + counts.reshape(num_classes, num_classes)
+
+
+class Trainer:
+    def __init__(self, model, cfg: TrainerConfig, train_loader, val_loader,
+                 ckpt_dir: str, logger: MetricLogger, mesh=None,
+                 with_edge: bool = False, edge_loss_fn=None):
+        self.model = model
+        self.cfg = cfg
+        self.train_loader = train_loader
+        self.val_loader = val_loader
+        self.mesh = mesh
+        self.logger = logger
+        self.with_edge = with_edge
+        self.ckpt = CheckpointManager(
+            ckpt_dir, monitor=cfg.monitor, mode=cfg.monitor_mode,
+            top_k=cfg.top_k)
+
+        steps_per_epoch = max(len(train_loader), 1)
+        self.total_steps = cfg.epochs * steps_per_epoch
+        sample = next(iter(train_loader))
+        import jax.numpy as jnp
+
+        sample_clip = jnp.zeros(sample["clip"].shape, jnp.float32)
+        self.state, self.tx = loop_lib.create_train_state(
+            model, sample_clip, jax.random.PRNGKey(cfg.seed), cfg.lr,
+            cfg.weight_decay, self.total_steps, mesh=mesh)
+        _, self.lr_schedule = loop_lib.make_optimizer(
+            cfg.lr, cfg.weight_decay, self.total_steps)
+        self.train_step = loop_lib.make_train_step(
+            model, cfg.loss, cfg.num_classes, self.tx,
+            edge_loss_fn=edge_loss_fn if with_edge else None)
+        self.eval_step = loop_lib.make_eval_step(
+            model, cfg.loss, cfg.num_classes, with_edge=with_edge)
+        self.epoch = 0
+
+    def resume(self, path: str | None = None):
+        self.state = self.ckpt.restore(self.state, path)
+        self.epoch = int(self.state.step) // max(len(self.train_loader), 1)
+        print(f"[trainer] resumed at step {int(self.state.step)} "
+              f"(epoch {self.epoch})")
+
+    def _device_batch(self, batch):
+        batch = {k: v for k, v in batch.items() if k != "paths"}
+        if self.mesh is not None:
+            from vivim_tpu.parallel.mesh import shard_batch
+            return shard_batch(batch, self.mesh)
+        return batch
+
+    def train_epoch(self):
+        self.train_loader.set_epoch(self.epoch)
+        losses, jaccs = [], []
+        t0 = time.time()
+        n_frames = 0
+        for i, batch in enumerate(self.train_loader):
+            n_frames += batch["clip"].shape[0] * batch["clip"].shape[1]
+            self.state, metrics = self.train_step(
+                self.state, self._device_batch(batch))
+            losses.append(metrics["loss"])
+            jaccs.append(metrics["jaccard"])
+            if i % self.cfg.log_every == 0:
+                self.logger.log(
+                    {"train/loss": float(metrics["loss"]),
+                     "train/jaccard": float(metrics["jaccard"]),
+                     "train/grad_norm": float(metrics["grad_norm"])},
+                    step=int(self.state.step))
+        dt = max(time.time() - t0, 1e-9)
+        epoch_metrics = {
+            "train/loss": float(np.mean([float(l) for l in losses])),
+            "train/jaccard": float(np.mean([float(j) for j in jaccs])),
+            "train/lr": float(self.lr_schedule(int(self.state.step))),
+            "train/frames_per_sec": n_frames / dt,
+        }
+        self.logger.log(epoch_metrics, step=int(self.state.step))
+        return epoch_metrics
+
+    def validate(self):
+        tracker = MulticlassMetricsTracker(self.cfg.num_classes)
+        cm = np.zeros((self.cfg.num_classes,) * 2, np.int64)
+        losses = []
+        for batch in self.val_loader:
+            loss, logits, targets = self.eval_step(
+                self.state, self._device_batch(batch))
+            losses.append(float(loss))
+            logits = np.asarray(logits)
+            targets = np.asarray(targets)
+            preds = logits.argmax(-1)
+            tracker.update(logits, targets)
+            cm += confusion_matrix_from_labels(
+                preds, targets, self.cfg.num_classes)
+        results = tracker.get_results()
+        # micro jaccard over the full val set from the aggregated matrix
+        tp = np.diag(cm).sum()
+        total = cm.sum()
+        micro_jacc = 0.0
+        tps = np.diag(cm)
+        fps = cm.sum(0) - tps
+        fns = cm.sum(1) - tps
+        micro_jacc = tps.sum() / max((tps + fps + fns).sum(), 1)
+        metrics = {
+            "val/loss": float(np.mean(losses)) if losses else 0.0,
+            "val/jacc": float(micro_jacc),
+            "val/dice": results["dice"]["mean"],
+            "val/accuracy": float(tp / max(total, 1)),
+        }
+        for m in tracker.TRACKED:
+            metrics[f"val/{m}_mean"] = results[m]["mean"]
+            for c, v in enumerate(results[m]["per_class"]):
+                if v is not None:
+                    metrics[f"val/{m}_class{c}"] = v
+        self.logger.log(metrics, step=int(self.state.step))
+        self.logger.log_confusion_matrix(
+            cm, [f"class_{i}" for i in range(self.cfg.num_classes)],
+            step=int(self.state.step))
+        return metrics, results, cm
+
+    def fit(self, resume_path: str | None = None):
+        if resume_path:
+            self.resume(resume_path)
+        best = None
+        while self.epoch < self.cfg.epochs:
+            em = self.train_epoch()
+            metrics = dict(em)
+            if (self.epoch + 1) % self.cfg.val_freq == 0 and len(
+                    self.val_loader) > 0:
+                vm, _, _ = self.validate()
+                metrics.update(vm)
+            self.epoch += 1
+            saved = self.ckpt.save(self.state, int(self.state.step), metrics)
+            if saved:
+                best = metrics.get(self.cfg.monitor)
+        self.ckpt.wait()
+        return best
