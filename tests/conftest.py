@@ -16,6 +16,10 @@ if "xla_force_host_platform_device_count" not in flags:
 
 import jax  # noqa: E402
 
+# The axon TPU plugin's sitecustomize overrides JAX_PLATFORMS at import
+# (jax.config.update("jax_platforms", "axon,cpu")); force CPU back
+# programmatically so tests run on the virtual 8-device CPU mesh.
+jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_default_matmul_precision", "highest")
 # Persistent compilation cache: repeated pytest runs on the 1-vCPU test
 # machine skip recompiles of unchanged programs.

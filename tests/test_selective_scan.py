@@ -160,3 +160,43 @@ def test_mamba_inner_parity():
     g_pal = jax.grad(lambda x_: loss(mamba_inner, x_))(xz)
     np.testing.assert_allclose(np.asarray(g_pal), np.asarray(g_ref),
                                rtol=5e-3, atol=5e-3)
+
+
+def test_initial_state_chaining():
+    """scan(full) == scan(half1) then scan(half2, initial_state=mid)."""
+    rng = np.random.default_rng(33)
+    u, delta, A, B, C, D, z, bias = _make_inputs(rng, 2, 128, 8, 4,
+                                                 jnp.float32)
+    full, full_last = selective_scan(
+        u, delta, A, B, C, D, z, bias, delta_softplus=True,
+        return_last_state=True, chunk=32)
+    h = 64
+    y1, mid = selective_scan(
+        u[:, :h], delta[:, :h], A, B[:, :h], C[:, :h], D, z[:, :h], bias,
+        delta_softplus=True, return_last_state=True, chunk=32)
+    y2, last = selective_scan(
+        u[:, h:], delta[:, h:], A, B[:, h:], C[:, h:], D, z[:, h:], bias,
+        delta_softplus=True, return_last_state=True, initial_state=mid,
+        chunk=32)
+    np.testing.assert_allclose(np.asarray(jnp.concatenate([y1, y2], axis=1)),
+                               np.asarray(full), rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(last), np.asarray(full_last),
+                               rtol=1e-4, atol=1e-4)
+
+
+def test_initial_state_grad():
+    rng = np.random.default_rng(34)
+    u, delta, A, B, C, D, z, bias = _make_inputs(rng, 1, 48, 8, 4,
+                                                 jnp.float32)
+    h0 = jnp.asarray(rng.standard_normal((1, 8, 4)), jnp.float32)
+
+    def loss(fn, h0_):
+        out, last = fn(u, delta, A, B, C, D, z, bias, delta_softplus=True,
+                       return_last_state=True, initial_state=h0_)
+        return jnp.sum(out**2) + jnp.sum(last)
+
+    g_ref = jax.grad(lambda h_: loss(refs.selective_scan_ref, h_))(h0)
+    g_pal = jax.grad(lambda h_: loss(
+        lambda *a, **k: selective_scan(*a, chunk=16, **k), h_))(h0)
+    np.testing.assert_allclose(np.asarray(g_pal), np.asarray(g_ref),
+                               rtol=1e-3, atol=1e-3)

@@ -139,13 +139,14 @@ def _round_up(x: int, m: int) -> int:
 
 
 def _fwd_kernel(delta_ref, u_ref, B_ref, C_ref, z_ref, A_ref, D_ref, bias_ref,
-                y_ref, cs_ref, ls_ref, state, *, softplus: bool, has_z: bool):
+                h0_ref, y_ref, cs_ref, ls_ref, state, *, softplus: bool,
+                has_z: bool):
     k = pl.program_id(2)
     nk = pl.num_programs(2)
 
     @pl.when(k == 0)
     def _():
-        state[...] = jnp.zeros_like(state)
+        state[...] = h0_ref[0].astype(jnp.float32)
 
     # Save the chunk-start state for the backward pass (cf. the CUDA fwd
     # kernel's x[b, d, chunk, 2*dstate] stash, selective_scan_fwd_kernel.cuh:236-254).
@@ -185,8 +186,9 @@ def _fwd_kernel(delta_ref, u_ref, B_ref, C_ref, z_ref, A_ref, D_ref, bias_ref,
 def _bwd_kernel(delta_ref, u_ref, B_ref, C_ref, z_ref, A_ref, D_ref, bias_ref,
                 dout_ref, dlast_ref, cs_ref,
                 ddelta_ref, du_ref, dB_ref, dC_ref, dz_ref, dA_ref, dD_ref,
-                dbias_ref, g_carry, *, softplus: bool, has_z: bool):
+                dbias_ref, dh0_ref, g_carry, *, softplus: bool, has_z: bool):
     k = pl.program_id(2)
+    nk = pl.num_programs(2)
 
     # Recompute the forward within this chunk from the saved start state.
     delta_raw = delta_ref[0].astype(jnp.float32) + bias_ref[0].astype(jnp.float32)
@@ -245,6 +247,11 @@ def _bwd_kernel(delta_ref, u_ref, B_ref, C_ref, z_ref, A_ref, D_ref, bias_ref,
     dA_contrib = jnp.sum(dla * dp[:, None, :], axis=0)   # (N, DT)
     dbias_contrib = jnp.sum(ddelta_pre, axis=0)           # (DT,)
 
+    # after the leftmost chunk, the carry is the initial-state gradient
+    @pl.when(k == nk - 1)
+    def _():
+        dh0_ref[0] = g_carry[...]
+
     @pl.when(k == 0)
     def _():
         dA_ref[0] = dA_contrib
@@ -278,7 +285,7 @@ def _pad_args(u, delta, B, C, z, A, Dskip, bias, softplus, chunk, dtile):
         B = jnp.pad(B, ((0, 0), (0, pad_l), (0, 0)))
         C = jnp.pad(C, ((0, 0), (0, pad_l), (0, 0)))
         if z is not None:
-            z = jnp.pad(z, ((0, 0), (0, pad_l), (0, 0)))
+            z = jnp.pad(z, ((0, 0), (0, pad_l), (0, pad_d)))
         A = jnp.pad(A, ((0, pad_d), (0, 0)))
         Dskip = jnp.pad(Dskip, (0, pad_d))
         bias = jnp.pad(bias, (0, pad_d))
@@ -289,10 +296,16 @@ def _interpret() -> bool:
     return jax.default_backend() != "tpu"
 
 
-def _fwd_call(u, delta, A, B, C, Dskip, z, bias, softplus, chunk, dtile):
+def _fwd_call(u, delta, A, B, C, Dskip, z, bias, h0, softplus, chunk, dtile):
     u, delta, B, C, z, A, Dskip, bias, dims = _pad_args(
         u, delta, B, C, z, A, Dskip, bias, softplus, chunk, dtile)
     batch, L, d, n, Lp, dpad = dims
+    if h0 is None:
+        h0 = jnp.zeros((batch, n, dpad), jnp.float32)
+    else:
+        # public layout (B, dim, N) -> kernel layout (B, N, dim), padded
+        h0 = jnp.swapaxes(h0.astype(jnp.float32), 1, 2)
+        h0 = jnp.pad(h0, ((0, 0), (0, 0), (0, dpad - d)))
     nk, nd = Lp // chunk, dpad // dtile
     A_t = A.T.astype(jnp.float32)            # (N, Dp)
     D2 = Dskip.astype(jnp.float32)[None, :]  # (1, Dp)
@@ -311,8 +324,11 @@ def _fwd_call(u, delta, A, B, C, Dskip, z, bias, softplus, chunk, dtile):
     else:
         in_specs.append(pl.BlockSpec((1, 1), lambda b, j, k: (0, 0)))
         inputs.append(jnp.zeros((1, 1), u.dtype))
-    in_specs += [pl.BlockSpec((n, dtile), lambda b, j, k: (0, j)), row_spec, row_spec]
-    inputs += [A_t, D2, b2]
+    in_specs += [
+        pl.BlockSpec((n, dtile), lambda b, j, k: (0, j)), row_spec, row_spec,
+        pl.BlockSpec((1, n, dtile), lambda b, j, k: (b, 0, j)),  # h0
+    ]
+    inputs += [A_t, D2, b2, h0]
 
     kernel = functools.partial(_fwd_kernel, softplus=softplus, has_z=has_z)
     y, chunk_states, last_state = pl.pallas_call(
@@ -341,6 +357,7 @@ def _fwd_call(u, delta, A, B, C, Dskip, z, bias, softplus, chunk, dtile):
 
 def _bwd_call(u, delta, A, B, C, Dskip, z, bias, chunk_states, dout, dlast,
               softplus, chunk, dtile):
+    # (gradient w.r.t. the initial state is emitted as dh0)
     u, delta, B, C, z, A, Dskip, bias, dims = _pad_args(
         u, delta, B, C, z, A, Dskip, bias, softplus, chunk, dtile)
     batch, L, d, n, Lp, dpad = dims
@@ -393,6 +410,7 @@ def _bwd_call(u, delta, A, B, C, Dskip, z, bias, chunk_states, dout, dlast,
             pl.BlockSpec((1, n, dtile), lambda b, j, k: (b, 0, j)),  # dA part
             pl.BlockSpec((1, 1, dtile), lambda b, j, k: (b, 0, j)),   # dD part
             pl.BlockSpec((1, 1, dtile), lambda b, j, k: (b, 0, j)),   # dbias part
+            pl.BlockSpec((1, n, dtile), lambda b, j, k: (b, 0, j)),   # dh0
         ],
         out_shape=[
             jax.ShapeDtypeStruct((batch, Lp, dpad), f32),
@@ -403,6 +421,7 @@ def _bwd_call(u, delta, A, B, C, Dskip, z, bias, chunk_states, dout, dlast,
             jax.ShapeDtypeStruct((batch, n, dpad), f32),
             jax.ShapeDtypeStruct((batch, 1, dpad), f32),
             jax.ShapeDtypeStruct((batch, 1, dpad), f32),
+            jax.ShapeDtypeStruct((batch, n, dpad), f32),
         ],
         scratch_shapes=[pltpu.VMEM((n, dtile), jnp.float32)],
         compiler_params=pltpu.CompilerParams(
@@ -410,7 +429,7 @@ def _bwd_call(u, delta, A, B, C, Dskip, z, bias, chunk_states, dout, dlast,
         ),
         interpret=_interpret(),
     )(*inputs)
-    ddelta, du, dB, dC, dz, dA_p, dD_p, dbias_p = outs
+    ddelta, du, dB, dC, dz, dA_p, dD_p, dbias_p, dh0 = outs
     ddelta = ddelta[:, :L, :d]
     du = du[:, :L, :d]
     dB = dB[:, :L, :]
@@ -419,7 +438,8 @@ def _bwd_call(u, delta, A, B, C, Dskip, z, bias, chunk_states, dout, dlast,
     dA = jnp.sum(dA_p, axis=0).T[:d]      # (D, N)
     dD = jnp.sum(dD_p, axis=(0, 1))[:d]
     dbias = jnp.sum(dbias_p, axis=(0, 1))[:d]
-    return ddelta, du, dB, dC, dz, dA, dD, dbias
+    dh0 = jnp.swapaxes(dh0, 1, 2)[:, :d, :]  # -> (B, dim, N)
+    return ddelta, du, dB, dC, dz, dA, dD, dbias, dh0
 
 
 # ---------------------------------------------------------------------------
@@ -427,26 +447,27 @@ def _bwd_call(u, delta, A, B, C, Dskip, z, bias, chunk_states, dout, dlast,
 # ---------------------------------------------------------------------------
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(8, 9, 10))
-def _selective_scan_core(u, delta, A, B, C, Dskip, z, delta_bias,
+@functools.partial(jax.custom_vjp, nondiff_argnums=(9, 10, 11))
+def _selective_scan_core(u, delta, A, B, C, Dskip, z, delta_bias, h0,
                          delta_softplus, chunk, dtile):
-    y, _, last_state = _fwd_call(u, delta, A, B, C, Dskip, z, delta_bias,
+    y, _, last_state = _fwd_call(u, delta, A, B, C, Dskip, z, delta_bias, h0,
                                  delta_softplus, chunk, dtile)
     return y, last_state
 
 
-def _core_fwd(u, delta, A, B, C, Dskip, z, delta_bias, delta_softplus, chunk,
-              dtile):
+def _core_fwd(u, delta, A, B, C, Dskip, z, delta_bias, h0, delta_softplus,
+              chunk, dtile):
     y, chunk_states, last_state = _fwd_call(
-        u, delta, A, B, C, Dskip, z, delta_bias, delta_softplus, chunk, dtile)
-    return (y, last_state), (u, delta, A, B, C, Dskip, z, delta_bias,
+        u, delta, A, B, C, Dskip, z, delta_bias, h0, delta_softplus, chunk,
+        dtile)
+    return (y, last_state), (u, delta, A, B, C, Dskip, z, delta_bias, h0,
                              chunk_states)
 
 
 def _core_bwd(delta_softplus, chunk, dtile, res, cts):
-    u, delta, A, B, C, Dskip, z, delta_bias, chunk_states = res
+    u, delta, A, B, C, Dskip, z, delta_bias, h0, chunk_states = res
     dout, dlast = cts
-    ddelta, du, dB, dC, dz, dA, dD, dbias = _bwd_call(
+    ddelta, du, dB, dC, dz, dA, dD, dbias, dh0 = _bwd_call(
         u, delta, A, B, C, Dskip, z, delta_bias, chunk_states,
         dout.astype(jnp.float32), dlast.astype(jnp.float32),
         delta_softplus, chunk, dtile)
@@ -454,7 +475,8 @@ def _core_bwd(delta_softplus, chunk, dtile, res, cts):
     return (cast(du, u), cast(ddelta, delta), cast(dA, A), cast(dB, B),
             cast(dC, C), cast(dD, Dskip),
             cast(dz, z) if z is not None else None,
-            cast(dbias, delta_bias))
+            cast(dbias, delta_bias),
+            cast(dh0, h0) if h0 is not None else None)
 
 
 _selective_scan_core.defvjp(_core_fwd, _core_bwd)
@@ -471,6 +493,7 @@ def selective_scan(
     delta_bias=None,
     delta_softplus=False,
     return_last_state=False,
+    initial_state=None,
     implementation=None,
     chunk=DEFAULT_CHUNK,
     dtile=DEFAULT_DTILE,
@@ -480,11 +503,13 @@ def selective_scan(
     off-TPU) or "ref" (sequential lax.scan).  Variable (input-dependent)
     B and C of shape (batch, L, dstate) are required for the Pallas path;
     constant/grouped B or C falls back to the reference implementation.
+    ``initial_state``: (batch, dim, dstate) carried scan state (streaming /
+    sequence-parallel shards); differentiable.
     """
     if implementation == "ref" or B.ndim != 3 or C.ndim != 3:
         return refs.selective_scan_ref(
             u, delta, A, B, C, D, z, delta_bias, delta_softplus,
-            return_last_state)
+            return_last_state, initial_state=initial_state)
     if chunk & (chunk - 1):
         raise ValueError(f"chunk must be a power of two, got {chunk}")
     d = u.shape[-1]
@@ -492,5 +517,6 @@ def selective_scan(
     bias = jnp.zeros((d,), jnp.float32) if delta_bias is None else delta_bias
     dtile = min(dtile, _round_up(d, 128))
     y, last_state = _selective_scan_core(
-        u, delta, A, B, C, Dskip, z, bias, delta_softplus, chunk, dtile)
+        u, delta, A, B, C, Dskip, z, bias, initial_state, delta_softplus,
+        chunk, dtile)
     return (y, last_state) if return_last_state else y
