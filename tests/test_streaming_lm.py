@@ -1,0 +1,94 @@
+"""Streaming decode parity and LM generation tests."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from vivim_tpu.nn import streaming
+from vivim_tpu.nn.lm import MambaLM, MambaLMConfig, generate, \
+    rescale_residual_projections
+from vivim_tpu.nn.mamba import MambaV3
+
+
+@pytest.fixture(scope="module")
+def mamba_params():
+    m = MambaV3(d_model=16, bimamba_type="none", scan_implementation="ref")
+    x = jnp.zeros((2, 12, 16))
+    params = m.init(jax.random.PRNGKey(0), x)["params"]
+    return m, params
+
+
+def test_streaming_matches_parallel(mamba_params):
+    """Prefill + per-token steps == one full parallel forward."""
+    m, params = mamba_params
+    x = jax.random.normal(jax.random.PRNGKey(1), (2, 12, 16))
+    full = m.apply({"params": params}, x)
+
+    # prefill on the first 8 tokens, then stream the last 4
+    pre, conv_s, ssm_s = streaming.mamba_prefill(params, x[:, :8])
+    outs = [pre]
+    for t in range(8, 12):
+        o, conv_s, ssm_s = streaming.mamba_step(params, x[:, t], conv_s, ssm_s)
+        outs.append(o[:, None])
+    stitched = jnp.concatenate(outs, axis=1)
+    np.testing.assert_allclose(np.asarray(stitched), np.asarray(full),
+                               rtol=2e-3, atol=2e-3)
+
+
+def test_streaming_from_scratch(mamba_params):
+    """Pure token-by-token decode equals the parallel forward."""
+    m, params = mamba_params
+    x = jax.random.normal(jax.random.PRNGKey(2), (1, 6, 16))
+    full = m.apply({"params": params}, x)
+    conv_s, ssm_s = streaming.allocate_cache(1, 16)
+    outs = []
+    for t in range(6):
+        o, conv_s, ssm_s = streaming.mamba_step(params, x[:, t], conv_s, ssm_s)
+        outs.append(o[:, None])
+    np.testing.assert_allclose(np.asarray(jnp.concatenate(outs, 1)),
+                               np.asarray(full), rtol=2e-3, atol=2e-3)
+
+
+def test_lm_forward_and_generate():
+    cfg = MambaLMConfig(vocab_size=50, d_model=16, n_layer=2)
+    model = MambaLM(cfg, scan_implementation="ref")
+    tokens = jnp.array([[1, 2, 3, 4]], jnp.int32)
+    variables = model.init(jax.random.PRNGKey(0), tokens)
+    params = rescale_residual_projections(variables["params"], cfg.n_layer)
+    logits = model.apply({"params": params}, tokens)
+    assert logits.shape == (1, 4, cfg.padded_vocab)
+
+    # greedy decode consistency: generate's first token == argmax of forward
+    out = generate(model, {"params": params}, tokens, max_new_tokens=3,
+                   temperature=0.0)
+    assert out.shape == (1, 7)
+    want_first = int(jnp.argmax(logits[0, -1]))
+    assert int(out[0, 4]) == want_first
+
+    # stochastic sampling with top-k/top-p runs and differs across seeds
+    s1 = generate(model, {"params": params}, tokens, 5,
+                  rng=jax.random.PRNGKey(1), temperature=1.0, top_k=10,
+                  top_p=0.9)
+    s2 = generate(model, {"params": params}, tokens, 5,
+                  rng=jax.random.PRNGKey(2), temperature=1.0, top_k=10,
+                  top_p=0.9)
+    assert s1.shape == s2.shape == (1, 9)
+
+
+def test_generate_greedy_matches_full_forward_replay():
+    """Greedy streaming decode == repeatedly running the full forward."""
+    cfg = MambaLMConfig(vocab_size=32, d_model=16, n_layer=2)
+    model = MambaLM(cfg, scan_implementation="ref")
+    tokens = jnp.array([[5, 7]], jnp.int32)
+    variables = model.init(jax.random.PRNGKey(0), tokens)
+    params = variables["params"]
+    out = generate(model, {"params": params}, tokens, max_new_tokens=4,
+                   temperature=0.0)
+    # replay: feed growing sequences through the full (parallel) forward
+    seq = tokens
+    for _ in range(4):
+        logits = model.apply({"params": params}, seq)
+        nxt = jnp.argmax(logits[:, -1], axis=-1)[:, None]
+        seq = jnp.concatenate([seq, nxt], axis=1)
+    np.testing.assert_array_equal(np.asarray(out), np.asarray(seq))

@@ -1,0 +1,171 @@
+"""Mamba language model + generation (vendored-package capability parity).
+
+TPU-native equivalents of the reference LM stack:
+
+- ``MambaLM`` == MixerModel + MambaLMHeadModel
+  (/root/reference/mamba/mamba_ssm/models/mixer_seq_simple.py:83-233):
+  embedding -> n x [prenorm LayerNorm + Mamba mixer (single-direction)] ->
+  final norm -> tied lm_head.  GPT-2-style init (:51-80): normal(0.02)
+  embeddings/linears, residual-out projections rescaled by
+  1/sqrt(n_residuals_per_layer * n_layer).
+- ``generate`` == mamba_ssm/utils/generation.py:39-200: prompt prefill via
+  the parallel scan, then a jitted ``lax.scan`` token loop over carried
+  (conv_state, ssm_state) — the TPU replacement for the CUDA-graph decode
+  cache (:256-377) — with temperature / top-k / top-p sampling and greedy
+  decoding, stopping masked at eos.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from vivim_tpu.nn.mamba import MambaV3
+from vivim_tpu.nn import streaming
+
+
+@dataclasses.dataclass(frozen=True)
+class MambaLMConfig:
+    vocab_size: int
+    d_model: int = 768
+    n_layer: int = 24
+    d_state: int = 16
+    d_conv: int = 4
+    expand: int = 2
+    pad_vocab_multiple: int = 8
+    initializer_range: float = 0.02
+
+    @property
+    def padded_vocab(self):
+        m = self.pad_vocab_multiple
+        return ((self.vocab_size + m - 1) // m) * m
+
+
+class MambaLM(nn.Module):
+    cfg: MambaLMConfig
+    scan_implementation: str | None = None
+
+    def _mixer(self, i):
+        return MambaV3(
+            d_model=self.cfg.d_model, d_state=self.cfg.d_state,
+            d_conv=self.cfg.d_conv, expand=self.cfg.expand,
+            bimamba_type="none",
+            scan_implementation=self.scan_implementation,
+            name=f"mixer_{i}")
+
+    @nn.compact
+    def __call__(self, tokens):
+        """tokens (B, L) int32 -> logits (B, L, padded_vocab)."""
+        cfg = self.cfg
+        emb = self.param(
+            "embedding",
+            nn.initializers.normal(cfg.initializer_range),
+            (cfg.padded_vocab, cfg.d_model))
+        h = emb[tokens]
+        for i in range(cfg.n_layer):
+            res = h
+            h = nn.LayerNorm(name=f"norm_{i}")(h)
+            h = self._mixer(i)(h)
+            h = res + h
+        h = nn.LayerNorm(name="norm_f")(h)
+        return h @ emb.T  # tied lm_head (mixer_seq_simple.py:193-204)
+
+
+def rescale_residual_projections(params, n_layer, n_residuals_per_layer=1):
+    """GPT-2 depth rescaling of out_proj kernels (mixer_seq_simple.py:64-80)."""
+    scale = 1.0 / math.sqrt(n_residuals_per_layer * n_layer)
+
+    def fix(path, p):
+        names = [getattr(k, "key", "") for k in path]
+        if "out_proj_kernel" in names:
+            return p * scale
+        return p
+
+    return jax.tree_util.tree_map_with_path(fix, params)
+
+
+def _sample_logits(rng, logits, temperature, top_k, top_p):
+    """Temperature / top-k / top-p filtering (generation.py:39-89)."""
+    if temperature == 0.0:
+        return jnp.argmax(logits, axis=-1)
+    logits = logits / temperature
+    if top_k > 0:
+        kth = jax.lax.top_k(logits, top_k)[0][..., -1:]
+        logits = jnp.where(logits < kth, -jnp.inf, logits)
+    if top_p < 1.0:
+        sorted_logits = jnp.sort(logits, axis=-1)[..., ::-1]
+        probs = jax.nn.softmax(sorted_logits, axis=-1)
+        cum = jnp.cumsum(probs, axis=-1)
+        # keep the smallest set with cumulative prob >= top_p
+        cutoff_idx = jnp.sum(cum < top_p, axis=-1, keepdims=True)
+        cutoff = jnp.take_along_axis(sorted_logits, cutoff_idx, axis=-1)
+        logits = jnp.where(logits < cutoff, -jnp.inf, logits)
+    return jax.random.categorical(rng, logits, axis=-1)
+
+
+def generate(model: MambaLM, params, tokens, max_new_tokens, rng=None,
+             temperature=1.0, top_k=0, top_p=1.0, eos_token_id=None):
+    """Prefill + jitted scan decode.
+
+    Args: tokens (B, L0) prompt.  Returns (B, L0 + max_new_tokens) tokens.
+    """
+    cfg = model.cfg
+    rng = rng if rng is not None else jax.random.PRNGKey(0)
+    p = params["params"] if "params" in params else params
+
+    emb = p["embedding"]
+
+    def layer_params(i):
+        return p[f"mixer_{i}"], p[f"norm_{i}"]
+
+    def apply_norm(np_, h):
+        mean = h.mean(-1, keepdims=True)
+        var = ((h - mean) ** 2).mean(-1, keepdims=True)
+        hn = (h - mean) * jax.lax.rsqrt(var + 1e-6)
+        return hn * np_["scale"] + np_["bias"]
+
+    # ---- prefill over the prompt ----
+    h = emb[tokens]
+    conv_states, ssm_states = [], []
+    for i in range(cfg.n_layer):
+        mp, np_ = layer_params(i)
+        res = h
+        out, cs, ss = streaming.mamba_prefill(mp, apply_norm(np_, h))
+        h = res + out
+        conv_states.append(cs)
+        ssm_states.append(ss)
+    h = apply_norm(p["norm_f"], h)
+    last_logits = h[:, -1] @ emb.T
+    conv_states = jnp.stack(conv_states)
+    ssm_states = jnp.stack(ssm_states)
+
+    def step(carry, _):
+        rng, logits, conv_states, ssm_states, done = carry
+        rng, sub = jax.random.split(rng)
+        next_tok = _sample_logits(sub, logits, temperature, top_k, top_p)
+        if eos_token_id is not None:
+            next_tok = jnp.where(done, eos_token_id, next_tok)
+            done = done | (next_tok == eos_token_id)
+        h = emb[next_tok]
+        new_cs, new_ss = [], []
+        for i in range(cfg.n_layer):
+            mp, np_ = layer_params(i)
+            res = h
+            out, cs, ss = streaming.mamba_step(
+                mp, apply_norm(np_, h), conv_states[i], ssm_states[i])
+            h = res + out
+            new_cs.append(cs)
+            new_ss.append(ss)
+        h = apply_norm(p["norm_f"], h)
+        logits = h @ emb.T
+        return (rng, logits, jnp.stack(new_cs), jnp.stack(new_ss), done), next_tok
+
+    done0 = jnp.zeros((tokens.shape[0],), bool)
+    carry = (rng, last_logits, conv_states, ssm_states, done0)
+    _, new_tokens = jax.lax.scan(step, carry, None, length=max_new_tokens)
+    return jnp.concatenate([tokens, jnp.moveaxis(new_tokens, 0, 1)], axis=1)
