@@ -1,0 +1,111 @@
+"""Sequence-sharded selective scan over a device mesh axis.
+
+The SSM analogue of ring attention (SURVEY.md §2.5/§5): for clips too long
+for one chip, the T*H*W token sequence is sharded across a ``seq`` mesh
+axis and the (dim x dstate) scan state is carried across devices.  The
+decomposition mirrors the kernel's own chunked structure, one level up:
+
+1. each shard runs the local chunked Pallas scan from a zero state and
+   computes its total decay ``A_prod = exp(A * sum_t delta'_t)`` (a cheap
+   O(L_local) reduction — no extra kernel output needed);
+2. the per-shard carries ``(A_prod, last_state)`` combine under the scan
+   pair rule ``(a2,b2)∘(a1,b1) = (a1*a2, a2*b1+b2)``; an all-gather of the
+   tiny (B, dim, N) carries followed by a local exclusive prefix gives each
+   shard its true initial state (collective cost: one all-gather of
+   n_shards * B*dim*N floats over ICI);
+3. each shard re-runs the scan with ``initial_state`` set — two scan passes
+   total, fully parallel across the axis.
+
+``delta_softplus`` is assumed True (the only mode Vivim uses).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from vivim_tpu.kernels.selective_scan import selective_scan
+
+
+def _combine(a1, b1, a2, b2):
+    return a1 * a2, a2 * b1 + b2
+
+
+def seq_sharded_selective_scan_local(
+    u, delta, A, B, C, D=None, z=None, delta_bias=None,
+    axis_name: str = "seq", implementation=None,
+):
+    """Body to run inside shard_map: all (B, L_local, ...) args are the
+    local sequence shards; returns the local (B, L_local, dim) outputs and
+    the global last state (replicated).
+    """
+    n_shards = jax.lax.axis_size(axis_name)
+    idx = jax.lax.axis_index(axis_name)
+
+    dp = delta.astype(jnp.float32)
+    if delta_bias is not None:
+        dp = dp + delta_bias.astype(jnp.float32)[None, None, :]
+    dp = jax.nn.softplus(dp)
+    # total decay of this shard: exp(A * sum_t delta') — (B, dim, N)
+    a_prod = jnp.exp(A.astype(jnp.float32)[None] *
+                     jnp.sum(dp, axis=1)[:, :, None])
+
+    _, local_last = selective_scan(
+        u, delta, A, B, C, D=D, z=z, delta_bias=delta_bias,
+        delta_softplus=True, return_last_state=True,
+        implementation=implementation)
+
+    # gather all shards' carries; exclusive prefix for this shard
+    all_a = jax.lax.all_gather(a_prod, axis_name)      # (S, B, dim, N)
+    all_b = jax.lax.all_gather(local_last, axis_name)  # (S, B, dim, N)
+
+    def prefix_step(carry, ab):
+        ca, cb = carry
+        a, b = ab
+        return _combine(ca, cb, a, b), (ca, cb)  # emit EXCLUSIVE prefix
+
+    init = (jnp.ones_like(a_prod), jnp.zeros_like(local_last))
+    (_, _), (pref_a, pref_b) = jax.lax.scan(prefix_step, init, (all_a, all_b))
+    h_in = pref_b[idx]  # exclusive prefix state for this shard
+
+    y, last = selective_scan(
+        u, delta, A, B, C, D=D, z=z, delta_bias=delta_bias,
+        delta_softplus=True, return_last_state=True, initial_state=h_in,
+        implementation=implementation)
+    # global last state = last shard's corrected last; combine locally
+    ga, gb = _combine(pref_a[n_shards - 1], pref_b[n_shards - 1],
+                      all_a[n_shards - 1], all_b[n_shards - 1])
+    del ga
+    return y, gb
+
+
+def seq_sharded_selective_scan(
+    u, delta, A, B, C, D=None, z=None, delta_bias=None,
+    mesh: Mesh | None = None, axis_name: str = "seq", implementation=None,
+):
+    """shard_map wrapper: shards the L axis of u/delta/B/C/z over
+    ``axis_name`` and returns the full (gathered) outputs."""
+    try:
+        from jax import shard_map
+    except ImportError:  # older jax
+        from jax.experimental.shard_map import shard_map
+
+    seq_spec = P(None, axis_name, None)
+    rep = P()
+    body = functools.partial(
+        seq_sharded_selective_scan_local, axis_name=axis_name,
+        implementation=implementation)
+
+    def wrapped(u, delta, A, B, C, D, z, delta_bias):
+        return body(u, delta, A, B, C, D=D, z=z, delta_bias=delta_bias)
+
+    return shard_map(
+        wrapped, mesh=mesh,
+        in_specs=(seq_spec, seq_spec, rep, seq_spec, seq_spec, rep, seq_spec,
+                  rep),
+        out_specs=(seq_spec, rep),
+        check_rep=False,
+    )(u, delta, A, B, C, D, z, delta_bias)
