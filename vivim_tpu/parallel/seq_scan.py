@@ -102,10 +102,18 @@ def seq_sharded_selective_scan(
     def wrapped(u, delta, A, B, C, D, z, delta_bias):
         return body(u, delta, A, B, C, D=D, z=z, delta_bias=delta_bias)
 
+    import inspect
+
+    kw = {}
+    sig = inspect.signature(shard_map)
+    if "check_rep" in sig.parameters:
+        kw["check_rep"] = False
+    elif "check_vma" in sig.parameters:
+        kw["check_vma"] = False
     return shard_map(
         wrapped, mesh=mesh,
         in_specs=(seq_spec, seq_spec, rep, seq_spec, seq_spec, rep, seq_spec,
                   rep),
         out_specs=(seq_spec, rep),
-        check_rep=False,
+        **kw,
     )(u, delta, A, B, C, D, z, delta_bias)
