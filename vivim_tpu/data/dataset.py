@@ -89,15 +89,12 @@ def mask_path_for(frame_path: str, key: str) -> str:
 
 def _edge_map(onehot: np.ndarray, radius: int = 2) -> np.ndarray:
     """(H, W, C) {0,1} masks -> (H, W, 1) edge band (EDT in + out <= radius),
-    summed over classes (Multiclass_Data.py:220-234)."""
-    from scipy.ndimage import distance_transform_edt
+    summed over classes (Multiclass_Data.py:220-234).  Uses the native C++
+    EDT (vivim_tpu.native) with a scipy fallback."""
+    from vivim_tpu import native
 
-    H, W, C = onehot.shape
-    emap = np.zeros((H, W), np.uint8)
-    for c in range(C):
-        m = np.pad(onehot[:, :, c], 1)
-        dist = distance_transform_edt(m) + distance_transform_edt(1 - m)
-        emap += (dist[1:-1, 1:-1] <= radius).astype(np.uint8)
+    masks = np.ascontiguousarray(np.moveaxis(onehot, -1, 0), np.uint8)
+    emap = native.edge_band(masks, float(radius))
     return emap[:, :, None].astype(np.float32)
 
 
