@@ -1,0 +1,125 @@
+"""Binary (lesion/background) pretraining steps and threshold-sweep eval.
+
+Reference: /root/reference/complements/train_binary.py —
+
+- Adam (no weight decay, :133) + cosine annealing to lr*0.01 (:136);
+- loss on the CENTER frame only (``pred[nFrames//2::nFrames]``, :187);
+  criterion = structure_loss, or JointEdgeSegLoss with ``with_edge``;
+- validation (:205-335): center-frame predictions swept over 256 thresholds
+  (Medical curves) plus S-measure / E-measure / MAE.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from vivim_tpu.train.loop import TrainState
+from vivim_tpu.train.losses import structure_loss
+
+
+def make_binary_optimizer(lr, total_steps, eta_min_ratio=0.01):
+    schedule = optax.cosine_decay_schedule(lr, max(total_steps, 1),
+                                           alpha=eta_min_ratio)
+    return optax.adam(schedule, b1=0.9, b2=0.999), schedule
+
+
+def center_frames(x, nframes):
+    """(B, T, ...) -> (B, ...) center frame (train_binary.py:187)."""
+    return x[:, nframes // 2]
+
+
+def make_binary_train_step(model, tx, with_edge=False, edge_loss_fn=None):
+    @jax.jit
+    def step(state: TrainState, batch):
+        rng, new_rng = jax.random.split(
+            jax.random.fold_in(state.rng, state.step))
+        T = batch["clip"].shape[1]
+
+        def loss_fn(params):
+            out, updates = model.apply(
+                {"params": params, "batch_stats": state.batch_stats},
+                batch["clip"], deterministic=False, rngs={"dropout": rng},
+                mutable=["batch_stats"])
+            if with_edge:
+                logits5, edge5 = out
+            else:
+                logits5 = out
+            pred = center_frames(logits5, T)       # (B, H, W, 1)
+            mask = center_frames(batch["masks"], T)
+            loss = structure_loss(pred, mask)
+            if with_edge and edge_loss_fn is not None:
+                loss = edge_loss_fn(pred, mask, center_frames(edge5, T),
+                                    center_frames(batch["edges"], T))
+            return loss, updates
+
+        (loss, updates), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(state.params)
+        upd, opt_state = tx.update(grads, state.opt_state, state.params)
+        new_state = state.replace(
+            step=state.step + 1,
+            params=optax.apply_updates(state.params, upd),
+            batch_stats=updates["batch_stats"],
+            opt_state=opt_state,
+            rng=new_rng,
+        )
+        return new_state, {"loss": loss}
+
+    return step
+
+
+def make_binary_eval_step(model, with_edge=False):
+    @jax.jit
+    def step(state: TrainState, batch):
+        out = model.apply(
+            {"params": state.params, "batch_stats": state.batch_stats},
+            batch["clip"], deterministic=True)
+        logits5 = out[0] if with_edge else out
+        T = batch["clip"].shape[1]
+        pred = jax.nn.sigmoid(center_frames(logits5, T))  # (B, H, W, 1)
+        mask = center_frames(batch["masks"], T)
+        loss = structure_loss(center_frames(logits5, T), mask)
+        return loss, pred, mask
+
+    return step
+
+
+class BinaryValidator:
+    """Threshold-sweep validation (train_binary.py:205-335): Medical
+    Sen/Spe/Dice/IoU curves + S-measure, E-measure, MAE over center-frame
+    saliency predictions."""
+
+    def __init__(self):
+        from vivim_tpu.train import saliency_metrics as SM
+
+        self.medical = SM.Medical()
+        self.sm = SM.Smeasure()
+        self.em = SM.Emeasure()
+        self.mae = SM.MAE()
+        self.wfm = SM.WeightedFmeasure()
+        self.losses = []
+
+    def update(self, loss, preds, masks):
+        self.losses.append(float(loss))
+        preds = np.asarray(preds)[..., 0]
+        masks = np.asarray(masks)[..., 0]
+        for p, g in zip(preds, masks):
+            self.medical.step(p, g)
+            self.sm.step(p, g)
+            self.em.step(p, g)
+            self.mae.step(p, g)
+            self.wfm.step(p, g)
+
+    def results(self):
+        med = self.medical.get_results()
+        return {
+            "val/loss": float(np.mean(self.losses)) if self.losses else 0.0,
+            "val/dice": med["maxDice"],
+            "val/iou": med["maxIoU"],
+            "val/Smeasure": self.sm.get_results()["Smeasure"],
+            "val/Emeasure": self.em.get_results()["meanEm"],
+            "val/MAE": self.mae.get_results()["MAE"],
+            "val/wFmeasure": self.wfm.get_results()["wFmeasure"],
+        }
