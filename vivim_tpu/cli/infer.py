@@ -70,7 +70,7 @@ def load_model(args):
 
     path = os.path.abspath(args.ckpt)
     if path.endswith(".ckpt") or path.endswith(".pth"):
-        return model, cfg, _load_torch_ckpt(path, variables)
+        return model, cfg, _load_torch_ckpt(path, cfg)
     if os.path.isdir(path):
         subs = sorted(d for d in os.listdir(path)
                       if d.startswith(("best_", "last_")))
@@ -88,19 +88,20 @@ def load_model(args):
     return model, cfg, variables
 
 
-def _load_torch_ckpt(path, variables):
-    """Reference Lightning checkpoint -> flax params (best-effort converter
-    for the SegFormer/Mamba weights; inference.py:211-230 prefix handling)."""
+def _load_torch_ckpt(path, cfg):
+    """Reference Lightning checkpoint -> flax variables
+    (inference.py:211-230 prefix handling + full Vivim name conversion)."""
     import torch
 
-    from vivim_tpu.convert.torch_to_jax import strip_lightning_prefix
+    from vivim_tpu.convert.torch_to_jax import (
+        strip_lightning_prefix,
+        vivim_params_from_torch,
+    )
 
     ckpt = torch.load(path, map_location="cpu", weights_only=False)
     sd = ckpt.get("state_dict", ckpt)
     sd = strip_lightning_prefix(sd)
-    raise NotImplementedError(
-        "full reference-Vivim .ckpt conversion lands with "
-        "convert.vivim_params_from_torch; export orbax params instead")
+    return vivim_params_from_torch(sd, cfg)
 
 
 def prepare_test_data(args):
