@@ -27,6 +27,7 @@ CLIP_LEN = int(os.environ.get("BENCH_CLIP_LEN", 5))
 IMG = int(os.environ.get("BENCH_IMAGE_SIZE", 256))
 WARMUP = int(os.environ.get("BENCH_WARMUP", 3))
 STEPS = int(os.environ.get("BENCH_STEPS", 10))
+DTYPE = os.environ.get("BENCH_DTYPE", "float32")  # float32 | bfloat16
 
 
 def main():
@@ -51,7 +52,9 @@ def main():
     state, tx = loop_lib.create_train_state(
         model, clip, rng, lr=1e-4, weight_decay=1e-2,
         total_steps=1000)
-    step_fn = loop_lib.make_train_step(model, "recall_focused", 3, tx)
+    compute_dtype = jnp.bfloat16 if DTYPE == "bfloat16" else None
+    step_fn = loop_lib.make_train_step(model, "recall_focused", 3, tx,
+                                       compute_dtype=compute_dtype)
 
     for _ in range(WARMUP):
         state, metrics = step_fn(state, batch)
@@ -64,9 +67,10 @@ def main():
     dt = (time.time() - t0) / STEPS
 
     clips_per_sec = BATCH / dt
+    suffix = "_bf16" if DTYPE == "bfloat16" else ""
     print(json.dumps({
         "metric": f"vivim_b3_train_clips_per_sec_chip_bs{BATCH}_"
-                  f"clip{CLIP_LEN}_{IMG}px",
+                  f"clip{CLIP_LEN}_{IMG}px{suffix}",
         "value": round(clips_per_sec, 3),
         "unit": "clips/sec/chip",
         "vs_baseline": round(clips_per_sec / A100_REFERENCE_CLIPS_PER_SEC, 3),

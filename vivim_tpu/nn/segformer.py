@@ -28,6 +28,7 @@ from vivim_tpu.nn.layers import DropPath
 @dataclasses.dataclass(frozen=True)
 class SegformerConfig:
     num_channels: int = 3
+    dtype: str = "float32"  # activation dtype ("bfloat16" for TPU speed)
     depths: Sequence[int] = (3, 4, 18, 3)
     hidden_sizes: Sequence[int] = (64, 128, 320, 512)
     num_attention_heads: Sequence[int] = (1, 2, 5, 8)

@@ -110,12 +110,23 @@ def flatten_frames(logits, masks):
     return logits, targets
 
 
+def cast_floating(tree, dtype):
+    """Cast float32 leaves to ``dtype`` (mixed-precision compute: master
+    params stay f32; autodiff through the cast returns f32 grads)."""
+    return jax.tree_util.tree_map(
+        lambda p: p.astype(dtype) if hasattr(p, "dtype")
+        and p.dtype == jnp.float32 else p, tree)
+
+
 def make_train_step(model, loss_fn: Callable | str = "recall_focused",
-                    num_classes: int = 3, tx=None, edge_loss_fn=None):
+                    num_classes: int = 3, tx=None, edge_loss_fn=None,
+                    compute_dtype=None):
     """Returns a jitted train step: (state, batch) -> (state, metrics).
 
     ``batch``: dict with clip (B, T, H, W, 3), masks (B, T, H, W, C)
-    [, edges (B, T, H, W, 1)].
+    [, edges (B, T, H, W, 1)].  ``compute_dtype``: e.g. jnp.bfloat16 for
+    cast-params mixed precision (losses and the scan state remain fp32,
+    and the Mamba modules keep their fp32 A_log/D/dt_bias islands).
     """
     if isinstance(loss_fn, str):
         loss_fn = losses_lib.LOSSES[loss_fn]
@@ -127,9 +138,13 @@ def make_train_step(model, loss_fn: Callable | str = "recall_focused",
             state.rng, state.step))
 
         def compute_loss(params):
+            clip = batch["clip"]
+            if compute_dtype is not None:
+                params = cast_floating(params, compute_dtype)
+                clip = clip.astype(compute_dtype)
             out, updates = model.apply(
                 {"params": params, "batch_stats": state.batch_stats},
-                batch["clip"], deterministic=False,
+                clip, deterministic=False,
                 rngs={"dropout": rng}, mutable=["batch_stats"])
             if with_edge:
                 logits5, edge5 = out
@@ -143,6 +158,9 @@ def make_train_step(model, loss_fn: Callable | str = "recall_focused",
 
         (loss, (logits, targets, updates)), grads = jax.value_and_grad(
             compute_loss, has_aux=True)(state.params)
+        if compute_dtype is not None:
+            updates = {"batch_stats": cast_floating(
+                updates["batch_stats"], jnp.float32)}
         new_params_updates, new_opt_state = tx.update(
             grads, state.opt_state, state.params)
         new_params = optax.apply_updates(state.params, new_params_updates)
@@ -164,16 +182,21 @@ def make_train_step(model, loss_fn: Callable | str = "recall_focused",
 
 
 def make_eval_step(model, loss_fn: Callable | str = "recall_focused",
-                   num_classes: int = 3, with_edge: bool = False):
+                   num_classes: int = 3, with_edge: bool = False,
+                   compute_dtype=None):
     """Jitted eval step -> (loss, logits (B*T, H, W, C), targets)."""
     if isinstance(loss_fn, str):
         loss_fn = losses_lib.LOSSES[loss_fn]
 
     @jax.jit
     def step(state: TrainState, batch):
+        params, clip = state.params, batch["clip"]
+        if compute_dtype is not None:
+            params = cast_floating(params, compute_dtype)
+            clip = clip.astype(compute_dtype)
         out = model.apply(
-            {"params": state.params, "batch_stats": state.batch_stats},
-            batch["clip"], deterministic=True)
+            {"params": params, "batch_stats": state.batch_stats},
+            clip, deterministic=True)
         logits5 = out[0] if with_edge else out
         logits, targets = flatten_frames(logits5, batch["masks"])
         loss = loss_fn(logits, targets, num_classes)

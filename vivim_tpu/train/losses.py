@@ -179,3 +179,35 @@ LOSSES = {
     "multiclass_structure": multiclass_structure_loss,
     "cross_entropy": cross_entropy,
 }
+
+
+# ---------------------------------------------------------------------------
+# Legacy VOS losses (reference loss.py:4-83 — kept for capability parity)
+# ---------------------------------------------------------------------------
+
+
+def mask_iou_loss(pred, mask, eps=1e-7):
+    """1 - soft IoU over sigmoid predictions (loss.py mask_iou)."""
+    p = jax.nn.sigmoid(pred.astype(jnp.float32)).reshape(pred.shape[0], -1)
+    m = mask.astype(jnp.float32).reshape(mask.shape[0], -1)
+    inter = jnp.sum(p * m, axis=1)
+    union = jnp.sum(p + m - p * m, axis=1)
+    return jnp.mean(1.0 - (inter + eps) / (union + eps))
+
+
+def bootstrapped_ce_loss(logits, targets, num_classes=None, ratio=0.15):
+    """Bootstrapped cross entropy: average over the hardest ``ratio``
+    fraction of pixels (loss.py bootstrap CE)."""
+    C = num_classes or logits.shape[-1]
+    logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
+    nll = -jnp.take_along_axis(logp, targets[..., None], axis=-1)[..., 0]
+    flat = nll.reshape(nll.shape[0], -1)
+    k = max(int(flat.shape[1] * ratio), 1)
+    topk = jax.lax.top_k(flat, k)[0]
+    return jnp.mean(topk)
+
+
+def smooth_l1_loss(pred, target, beta=1.0):
+    """Huber / smooth-L1 (loss.py smooth-L1)."""
+    d = jnp.abs(pred.astype(jnp.float32) - target.astype(jnp.float32))
+    return jnp.mean(jnp.where(d < beta, 0.5 * d * d / beta, d - 0.5 * beta))
