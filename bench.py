@@ -38,7 +38,16 @@ def main():
     from vivim_tpu.nn.vivim import Vivim, VivimConfig
     from vivim_tpu.train import loop as loop_lib
 
-    cfg = VivimConfig()  # flagship: MiT-b3, 3-class
+    import dataclasses
+
+    from vivim_tpu.nn import segformer as sf
+
+    # production config: tanh GELU (the erf GELU is ~4x slower on the VPU
+    # and differs only at the 1e-3 level) — toggle with BENCH_EXACT_GELU=1
+    seg = sf.mit_b3()
+    if not int(os.environ.get("BENCH_EXACT_GELU", "0")):
+        seg = dataclasses.replace(seg, gelu_approximate=True)
+    cfg = VivimConfig(segformer=seg)  # flagship: MiT-b3, 3-class
     model = Vivim(cfg)
     rng = jax.random.PRNGKey(0)
     clip = jax.random.normal(rng, (BATCH, CLIP_LEN, IMG, IMG, 3), jnp.float32)

@@ -57,4 +57,6 @@ def build_train_parser(description="vivim_tpu training"):
     _add(p, "n_devices", type=int, default=None,
          help="number of devices for the data-parallel mesh")
     _add(p, "segformer", type=str, default="b3", choices=["b0", "b3", "tiny"])
+    _add(p, "exact_gelu", type=str2bool, default=False,
+         help="use the exact erf GELU (HF-bit-parity; ~4x slower on TPU)")
     return p

@@ -11,8 +11,12 @@ from vivim_tpu.nn.vivim import Vivim, VivimConfig
 
 
 def build_model(args):
+    import dataclasses
+
     seg = {"b0": sf.mit_b0, "b3": sf.mit_b3,
            "tiny": sf.mit_tiny_test}[args.segformer]()
+    if not getattr(args, "exact_gelu", True):
+        seg = dataclasses.replace(seg, gelu_approximate=True)
     cfg = VivimConfig(
         out_chans=args.num_classes,
         with_edge=args.with_edge,

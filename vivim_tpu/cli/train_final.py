@@ -39,7 +39,8 @@ def main(argv=None):
         val_freq=max(args.epochs - 1, 1),  # validate once at the end
         lr=args.initlr, weight_decay=args.weight_decay,
         num_classes=args.num_classes, loss=args.loss,
-        monitor="train/loss", monitor_mode="min", top_k=3, seed=args.seed)
+        monitor="train/loss", monitor_mode="min", top_k=3, seed=args.seed,
+        bf16=args.bf16)
     mesh = None
     if args.n_devices and args.n_devices > 1:
         from vivim_tpu.parallel.mesh import make_mesh

@@ -42,6 +42,9 @@ class SegformerConfig:
     classifier_dropout: float = 0.1
     decoder_hidden_size: int = 768
     num_labels: int = 150
+    # exact erf GELU matches HF bit-for-bit but is several times slower on
+    # the TPU VPU; the tanh approximation changes activations by ~1e-3
+    gelu_approximate: bool = False
 
     @property
     def num_stages(self):
@@ -126,11 +129,12 @@ class EfficientSelfAttention(nn.Module):
 
 
 class MixFFN(nn.Module):
-    """dense1 -> 3x3 depthwise conv -> GELU(erf) -> dense2 with dropout."""
+    """dense1 -> 3x3 depthwise conv -> GELU -> dense2 with dropout."""
 
     hidden_size: int
     mlp_hidden: int
     hidden_dropout: float = 0.0
+    gelu_approximate: bool = False
 
     @nn.compact
     def __call__(self, x, H: int, W: int, deterministic: bool = True):
@@ -140,7 +144,7 @@ class MixFFN(nn.Module):
         xs = nn.Conv(self.mlp_hidden, (3, 3), padding=((1, 1), (1, 1)),
                      feature_group_count=self.mlp_hidden, name="dwconv")(xs)
         x = xs.reshape(B, L, self.mlp_hidden)
-        x = nn.gelu(x, approximate=False)
+        x = nn.gelu(x, approximate=self.gelu_approximate)
         x = nn.Dropout(self.hidden_dropout, deterministic=deterministic)(x)
         x = nn.Dense(self.hidden_size, name="dense2")(x)
         x = nn.Dropout(self.hidden_dropout, deterministic=deterministic)(x)
@@ -157,6 +161,7 @@ class SegformerLayer(nn.Module):
     drop_path: float = 0.0
     attention_dropout: float = 0.0
     hidden_dropout: float = 0.0
+    gelu_approximate: bool = False
 
     @nn.compact
     def __call__(self, x, H: int, W: int, deterministic: bool = True):
@@ -169,7 +174,8 @@ class SegformerLayer(nn.Module):
         x = x + dp(h, deterministic)
         h = nn.LayerNorm(name="norm2")(x)
         h = MixFFN(self.hidden_size, int(self.hidden_size * self.mlp_ratio),
-                   self.hidden_dropout, name="ffn")(h, H, W, deterministic)
+                   self.hidden_dropout, self.gelu_approximate,
+                   name="ffn")(h, H, W, deterministic)
         x = x + dp(h, deterministic)
         return x
 
@@ -202,6 +208,7 @@ class SegformerStage(nn.Module):
                 self.drop_path_rates[j],
                 cfg.attention_dropout,
                 cfg.hidden_dropout,
+                cfg.gelu_approximate,
                 name=f"layer_{j}",
             )(tokens, H, W, deterministic)
         return tokens, H, W

@@ -40,6 +40,7 @@ class TrainerConfig:
     top_k: int = 1
     log_every: int = 10
     seed: int = 42
+    bf16: bool = False  # cast-params mixed precision (fp32 scan state kept)
 
 
 def confusion_matrix_from_labels(preds, targets, num_classes):
@@ -76,11 +77,16 @@ class Trainer:
             cfg.weight_decay, self.total_steps, mesh=mesh)
         _, self.lr_schedule = loop_lib.make_optimizer(
             cfg.lr, cfg.weight_decay, self.total_steps)
+        import jax.numpy as jnp2
+
+        compute_dtype = jnp2.bfloat16 if cfg.bf16 else None
         self.train_step = loop_lib.make_train_step(
             model, cfg.loss, cfg.num_classes, self.tx,
-            edge_loss_fn=edge_loss_fn if with_edge else None)
+            edge_loss_fn=edge_loss_fn if with_edge else None,
+            compute_dtype=compute_dtype)
         self.eval_step = loop_lib.make_eval_step(
-            model, cfg.loss, cfg.num_classes, with_edge=with_edge)
+            model, cfg.loss, cfg.num_classes, with_edge=with_edge,
+            compute_dtype=compute_dtype)
         self.epoch = 0
 
     def resume(self, path: str | None = None):
