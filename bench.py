@@ -33,6 +33,10 @@ DTYPE = os.environ.get("BENCH_DTYPE", "bfloat16")  # bfloat16 (default, matches
 
 def main():
     import jax
+
+    # rbg PRNG: dropout-mask generation with threefry is a visible cost on
+    # the VPU (profiled ~several ms/step); rbg is the TPU-native generator
+    jax.config.update("jax_default_prng_impl", "rbg")
     import jax.numpy as jnp
 
     from vivim_tpu.nn.vivim import Vivim, VivimConfig

@@ -1,0 +1,44 @@
+"""CLI flag-surface tests: reference cfg.py parity + parsing."""
+
+import pytest
+
+from vivim_tpu.cli.args import build_train_parser
+
+
+def test_reference_flag_surface():
+    """Every consumed reference cfg.py flag parses (single-dash style)."""
+    p = build_train_parser()
+    args = p.parse_args([
+        "-image_size", "256", "-clip_length", "5", "-train_bs", "3",
+        "-epochs", "50", "-num_workers", "2", "-num_folds", "5",
+        "-max_numerosity", "3", "-num_classes", "3", "-val_freq", "5",
+        "-initlr", "1e-4", "-weight_decay", "1e-2", "-with_edge", "false",
+        "-resume_path", "/tmp/x", "-seed", "42", "-cv_group", "g",
+        "-save_path", "runs", "-data_path", "/tmp/d", "-val_bs", "2",
+        "-exp_name", "e", "-pretrain", "/tmp/p", "-val_aug", "true",
+    ])
+    assert args.image_size == 256
+    assert args.clip_length == 5
+    assert args.max_numerosity == 3
+    assert args.initlr == pytest.approx(1e-4)
+    assert args.with_edge is False
+    assert args.val_aug is True
+
+
+def test_new_flags_defaults():
+    args = build_train_parser().parse_args([])
+    assert args.dynamic is False
+    assert args.bf16 is False
+    assert args.exact_gelu is False
+    assert args.augment_intensity == "medium"
+    assert args.loss == "recall_focused"
+    assert args.segformer == "b3"
+
+
+def test_infer_parser():
+    from vivim_tpu.cli.infer import parse_args
+
+    args = parse_args(["--ckpt", "c", "--data_dir", "d",
+                       "--image_size", "512", "--clip_length", "5",
+                       "--save_vis", "true"])
+    assert args.image_size == 512 and args.save_vis is True

@@ -29,9 +29,12 @@ def _pre_scan(xz, conv1d_weight, conv1d_bias, x_proj_weight, delta_proj_weight,
     delta_rank = delta_proj_weight.shape[1]
     x, z = xz[..., :d_inner], xz[..., d_inner:]
     x = causal_conv1d(x, conv1d_weight, conv1d_bias, activation="silu")
-    x_dbl = jnp.einsum("bld,rd->blr", x, x_proj_weight)
+    # keep the projection matmuls (and hence the scan I/O) in the activation
+    # dtype — fp32 weights would silently promote everything to fp32
+    x_dbl = jnp.einsum("bld,rd->blr", x, x_proj_weight.astype(x.dtype))
     delta = jnp.einsum(
-        "blr,dr->bld", x_dbl[..., :delta_rank], delta_proj_weight)
+        "blr,dr->bld", x_dbl[..., :delta_rank],
+        delta_proj_weight.astype(x.dtype))
     B = x_dbl[..., delta_rank : delta_rank + dstate]
     C = x_dbl[..., delta_rank + dstate :]
     return x, z, delta, B, C
