@@ -146,11 +146,11 @@ def run_inference(args, model, variables, loader):
         clip = jnp.asarray(batch["clip"])
         t0 = time.time()
         probs = forward(clip)
-        probs.block_until_ready()
+        # device->host fetch both syncs honestly (block_until_ready does not
+        # on tunneled runtimes) and is part of the per-batch latency anyway
+        probs = np.asarray(probs)
         batch_times.append(time.time() - t0)
         total_frames += clip.shape[0] * clip.shape[1]
-
-        probs = np.asarray(probs)
         preds = probs.argmax(-1)  # (B, T, H, W)
         gts = batch["masks"].argmax(-1)  # (B, T, H, W)
         B, T = preds.shape[:2]

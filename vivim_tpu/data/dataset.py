@@ -116,7 +116,8 @@ class ClipDataset:
 
     def __init__(self, root, size, clip_len=3, max_num=None, augment="medium",
                  mask_keys=MULTICLASS_KEYS, dynamic=False, seed=42,
-                 with_edges=True, invert_background=False):
+                 with_edges=True, invert_background=False,
+                 pad_short_videos=False):
         """``root`` is either a gathered video-tree directory or an index
         dict {video: [entry dicts]} (e.g. from gather_multiclass_frames
         with copy=False) — the zero-copy path."""
@@ -133,6 +134,11 @@ class ClipDataset:
         self.epoch = 0
         self.with_edges = with_edges
         self.invert_background = invert_background
+        # binary-pipeline behavior: videos shorter than clip_len become one
+        # window padded by repeating the last frame (pad_or_crop_clip,
+        # complements/main_dataset.py:239-256); the multiclass reference
+        # skips them instead
+        self.pad_short_videos = pad_short_videos
         if isinstance(root, dict):
             self.videos = {v: list(entries) for v, entries in root.items()}
         else:
@@ -143,6 +149,10 @@ class ClipDataset:
         samples = []
         for vid, frames in self.videos.items():
             windows = clips_lib.sliding_clip_windows(len(frames), self.clip_len)
+            if not windows and self.pad_short_videos and frames:
+                idx = list(range(len(frames)))
+                idx += [idx[-1]] * (self.clip_len - len(idx))
+                windows = [idx]
             if self.dynamic:
                 windows = clips_lib.select_random(
                     windows, self.max_num, self.seed, self.epoch)

@@ -53,6 +53,12 @@ def gather_annotated_frames(input_root) -> pd.DataFrame:
         rec["solid_path"] = str(d / "solid.png") if rec["has_solid"] else None
         rec["nonsolid_path"] = (str(d / "non-solid.png")
                                 if rec["has_nonsolid"] else None)
+        # optional fan-beam mask: carried through the split untouched
+        # (multiclass_StratKFold.py:36-50, 615-616; never applied by the
+        # reference datasets — the "apply fan" in main_dataset.py:260 is an
+        # unimplemented comment)
+        rec["has_fan"] = "fan.png" in files
+        rec["fan_path"] = str(d / "fan.png") if rec["has_fan"] else None
         records.append(rec)
     return pd.DataFrame(records)
 
@@ -188,7 +194,8 @@ def make_stratified_group_folds(
                     shutil.copy2(row["frame_path"], dest / "frame.png")
                     for key, name in (("background_path", "background.png"),
                                       ("solid_path", "solid.png"),
-                                      ("nonsolid_path", "non-solid.png")):
+                                      ("nonsolid_path", "non-solid.png"),
+                                      ("fan_path", "fan.png")):
                         if isinstance(row[key], str):  # None -> NaN in pandas
                             shutil.copy2(row[key], dest / name)
         fold_index.append(entry)

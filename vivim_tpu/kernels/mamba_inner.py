@@ -74,3 +74,71 @@ def mamba_inner(
         if out_proj_bias is not None:
             y = y + out_proj_bias[None, None, :]
     return y
+
+
+@functools.partial(jax.checkpoint, static_argnums=(5, 6))
+def _pre_scan_grouped(xz, conv_w_g, conv_b_g, x_proj_g, dt_proj_g, dstate,
+                      groups):
+    """Grouped conv + projections for the batched tri-directional path.
+
+    xz: (G*B, L, 2*d_inner) with direction-major grouping; weights stacked
+    with a leading (G,) axis.  The matmuls become batched einsums (bigger
+    MXU tiles) and the whole tri-directional mixer needs ONE scan-kernel
+    invocation downstream instead of three.
+    """
+    G = groups
+    GB, L, dd = xz.shape
+    d_inner = dd // 2
+    nb = GB // G
+    delta_rank = dt_proj_g.shape[-1]
+    x, z = xz[..., :d_inner], xz[..., d_inner:]
+    xg = x.reshape(G, nb, L, d_inner)
+    width = conv_w_g.shape[1]
+    xf = xg.astype(jnp.float32)
+    wf = conv_w_g.astype(jnp.float32)  # (G, W, d)
+    xp = jnp.pad(xf, ((0, 0), (0, 0), (width - 1, 0), (0, 0)))
+    out = xp[:, :, 0:L, :] * wf[:, None, 0][:, :, None, :]
+    for w in range(1, width):
+        out = out + xp[:, :, w : w + L, :] * wf[:, None, w][:, :, None, :]
+    if conv_b_g is not None:
+        out = out + conv_b_g.astype(jnp.float32)[:, None, None, :]
+    xc = jax.nn.silu(out).astype(x.dtype)
+    x_dbl = jnp.einsum("gnld,grd->gnlr", xc, x_proj_g.astype(x.dtype))
+    delta = jnp.einsum("gnlr,gdr->gnld", x_dbl[..., :delta_rank],
+                       dt_proj_g.astype(x.dtype))
+    Bv = x_dbl[..., delta_rank : delta_rank + dstate]
+    Cv = x_dbl[..., delta_rank + dstate :]
+    flat = lambda t: t.reshape(GB, L, t.shape[-1])
+    return flat(xc), z, flat(delta), flat(Bv), flat(Cv)
+
+
+def mamba_inner_grouped(
+    xz_grouped,
+    conv_w_g,
+    conv_b_g,
+    x_proj_g,
+    dt_proj_g,
+    A_log_g,
+    D_g,
+    delta_bias_g,
+    nb: int,
+    delta_softplus=True,
+    implementation=None,
+):
+    """Batched multi-direction Mamba inner: one fused scan for all G
+    directions (the reference launches the CUDA pipeline once per direction,
+    mamba_simple.py:215-260; here the G*B sequences share one kernel grid).
+
+    xz_grouped: (G*B, L, 2*d_inner), direction-major.  Per-direction
+    parameter stacks carry a leading (G,) axis.  Returns (G*B, L, d_inner).
+    """
+    G = conv_w_g.shape[0]
+    dstate = A_log_g.shape[-1]
+    x, z, delta, Bv, Cv = _pre_scan_grouped(
+        xz_grouped, conv_w_g, conv_b_g, x_proj_g, dt_proj_g, dstate, G)
+    rep = lambda t: jnp.repeat(t, nb, axis=0)  # (G, ...) -> (G*B, ...)
+    return selective_scan(
+        x, delta, rep(-jnp.exp(A_log_g.astype(jnp.float32))), Bv, Cv,
+        D=rep(D_g.astype(jnp.float32)), z=z,
+        delta_bias=rep(delta_bias_g.astype(jnp.float32)),
+        delta_softplus=delta_softplus, implementation=implementation)

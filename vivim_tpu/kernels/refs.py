@@ -77,12 +77,16 @@ def selective_scan_ref(
     u = u.astype(jnp.float32)
     delta = delta.astype(jnp.float32)
     if delta_bias is not None:
-        delta = delta + delta_bias.astype(jnp.float32)[None, None, :]
+        db = delta_bias.astype(jnp.float32)
+        delta = delta + (db[:, None, :] if db.ndim == 2 else db[None, None, :])
     if delta_softplus:
         delta = jax.nn.softplus(delta)
     batch, seqlen, dim = u.shape
-    dstate = A.shape[1]
+    dstate = A.shape[-1]
+    # A may be (dim, N) shared or (batch, dim, N) per-batch
     A = A.astype(jnp.float32)
+    if A.ndim == 2:
+        A = jnp.broadcast_to(A[None], (batch, dim, dstate))
     is_variable_B = B.ndim >= 3
     is_variable_C = C.ndim >= 3
     B = B.astype(jnp.float32)
@@ -96,7 +100,7 @@ def selective_scan_ref(
 
     def step(x, inputs):
         delta_t, u_t, B_t, C_t = inputs  # (b,d), (b,d), (b,n)|None, (b,n)|None
-        dA = jnp.exp(delta_t[:, :, None] * A[None, :, :])  # (b, d, n)
+        dA = jnp.exp(delta_t[:, :, None] * A)  # (b, d, n)
         if is_variable_B:
             dBu = delta_t[:, :, None] * B_t[:, None, :] * u_t[:, :, None]
         else:
@@ -116,7 +120,11 @@ def selective_scan_ref(
     last_state, ys = jax.lax.scan(step, x0, (delta_t, u_t, B_t, C_t))
     y = jnp.moveaxis(ys, 0, 1)  # (b, L, d)
 
-    out = y if D is None else y + u * D.astype(jnp.float32)[None, None, :]
+    if D is None:
+        out = y
+    else:
+        Df = D.astype(jnp.float32)
+        out = y + u * (Df[:, None, :] if Df.ndim == 2 else Df[None, None, :])
     if z is not None:
         z = z.astype(jnp.float32)
         out = out * jax.nn.silu(z)

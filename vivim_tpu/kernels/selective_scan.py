@@ -156,7 +156,7 @@ def _fwd_kernel(delta_ref, u_ref, B_ref, C_ref, z_ref, A_ref, D_ref, bias_ref,
     if softplus:
         dp = jax.nn.softplus(dp)
     uf = u_ref[0].astype(jnp.float32)               # (C, DT)
-    A = A_ref[...].astype(jnp.float32)              # (N, DT)
+    A = A_ref[0].astype(jnp.float32)                # (N, DT)
     a = jnp.exp(dp[:, None, :] * A[None])           # (C, N, DT)
     Bt = B_ref[0].astype(jnp.float32)               # (C, N)
     bu = (dp * uf)[:, None, :] * Bt[:, :, None]     # (C, N, DT)
@@ -194,7 +194,7 @@ def _bwd_kernel(delta_ref, u_ref, B_ref, C_ref, z_ref, A_ref, D_ref, bias_ref,
     delta_raw = delta_ref[0].astype(jnp.float32) + bias_ref[0].astype(jnp.float32)
     dp = jax.nn.softplus(delta_raw) if softplus else delta_raw
     uf = u_ref[0].astype(jnp.float32)
-    A = A_ref[...].astype(jnp.float32)              # (N, DT)
+    A = A_ref[0].astype(jnp.float32)                # (N, DT)
     a = jnp.exp(dp[:, None, :] * A[None])           # (C, N, DT)
     Bt = B_ref[0].astype(jnp.float32)
     Ct = C_ref[0].astype(jnp.float32)
@@ -272,12 +272,24 @@ def _bwd_kernel(delta_ref, u_ref, B_ref, C_ref, z_ref, A_ref, D_ref, bias_ref,
 
 def _pad_args(u, delta, B, C, z, A, Dskip, bias, softplus, chunk, dtile):
     """Pad L to a chunk multiple and D to a tile multiple (padding is inert:
-    padded timesteps keep a == 1 so the carried state is unchanged)."""
+    padded timesteps keep a == 1 so the carried state is unchanged).
+
+    A may be (dim, N) shared or (batch, dim, N) per-batch (the batched
+    tri-directional path stacks direction-specific parameters along batch);
+    Dskip/bias likewise (dim,) or (batch, dim).  All are normalized to the
+    batched form here.
+    """
     batch, L, d = u.shape
-    n = A.shape[1]
+    n = A.shape[-1]
     Lp, dp_ = _round_up(L, chunk), _round_up(d, dtile)
     pad_l, pad_d = Lp - L, dp_ - d
     delta_pad_value = _NEG_INF if softplus else 0.0
+    if A.ndim == 2:
+        A = jnp.broadcast_to(A[None], (batch,) + A.shape)
+    if Dskip.ndim == 1:
+        Dskip = jnp.broadcast_to(Dskip[None], (batch,) + Dskip.shape)
+    if bias.ndim == 1:
+        bias = jnp.broadcast_to(bias[None], (batch,) + bias.shape)
     if pad_l or pad_d:
         u = jnp.pad(u, ((0, 0), (0, pad_l), (0, pad_d)))
         delta = jnp.pad(delta, ((0, 0), (0, pad_l), (0, pad_d)),
@@ -286,9 +298,9 @@ def _pad_args(u, delta, B, C, z, A, Dskip, bias, softplus, chunk, dtile):
         C = jnp.pad(C, ((0, 0), (0, pad_l), (0, 0)))
         if z is not None:
             z = jnp.pad(z, ((0, 0), (0, pad_l), (0, pad_d)))
-        A = jnp.pad(A, ((0, pad_d), (0, 0)))
-        Dskip = jnp.pad(Dskip, (0, pad_d))
-        bias = jnp.pad(bias, (0, pad_d))
+        A = jnp.pad(A, ((0, 0), (0, pad_d), (0, 0)))
+        Dskip = jnp.pad(Dskip, ((0, 0), (0, pad_d)))
+        bias = jnp.pad(bias, ((0, 0), (0, pad_d)))
     return u, delta, B, C, z, A, Dskip, bias, (batch, L, d, n, Lp, dp_)
 
 
@@ -307,14 +319,14 @@ def _fwd_call(u, delta, A, B, C, Dskip, z, bias, h0, softplus, chunk, dtile):
         h0 = jnp.swapaxes(h0.astype(jnp.float32), 1, 2)
         h0 = jnp.pad(h0, ((0, 0), (0, 0), (0, dpad - d)))
     nk, nd = Lp // chunk, dpad // dtile
-    A_t = A.T.astype(jnp.float32)            # (N, Dp)
-    D2 = Dskip.astype(jnp.float32)[None, :]  # (1, Dp)
-    b2 = bias.astype(jnp.float32)[None, :]   # (1, Dp)
+    A_t = jnp.swapaxes(A, 1, 2).astype(jnp.float32)  # (B, N, Dp)
+    D2 = Dskip.astype(jnp.float32)[:, None, :]       # (B, 1, Dp)
+    b2 = bias.astype(jnp.float32)[:, None, :]        # (B, 1, Dp)
     has_z = z is not None
 
     ld_spec = pl.BlockSpec((1, chunk, dtile), lambda b, j, k: (b, k, j))
     ln_spec = pl.BlockSpec((1, chunk, n), lambda b, j, k: (b, k, 0))
-    row_spec = pl.BlockSpec((1, dtile), lambda b, j, k: (0, j))
+    row_spec = pl.BlockSpec((1, 1, dtile), lambda b, j, k: (b, 0, j))
 
     in_specs = [ld_spec, ld_spec, ln_spec, ln_spec]
     inputs = [delta, u, B, C]
@@ -325,7 +337,8 @@ def _fwd_call(u, delta, A, B, C, Dskip, z, bias, h0, softplus, chunk, dtile):
         in_specs.append(pl.BlockSpec((1, 1), lambda b, j, k: (0, 0)))
         inputs.append(jnp.zeros((1, 1), u.dtype))
     in_specs += [
-        pl.BlockSpec((n, dtile), lambda b, j, k: (0, j)), row_spec, row_spec,
+        pl.BlockSpec((1, n, dtile), lambda b, j, k: (b, 0, j)),  # A
+        row_spec, row_spec,
         pl.BlockSpec((1, n, dtile), lambda b, j, k: (b, 0, j)),  # h0
     ]
     inputs += [A_t, D2, b2, h0]
@@ -365,9 +378,9 @@ def _bwd_call(u, delta, A, B, C, Dskip, z, bias, chunk_states, dout, dlast,
     dout = jnp.pad(dout, ((0, 0), (0, Lp - L), (0, dpad - d)))
     dlast = jnp.swapaxes(dlast, 1, 2)  # (B, dim, N) -> kernel layout (B, N, dim)
     dlast = jnp.pad(dlast, ((0, 0), (0, 0), (0, dpad - d)))
-    A_t = A.T.astype(jnp.float32)
-    D2 = Dskip.astype(jnp.float32)[None, :]
-    b2 = bias.astype(jnp.float32)[None, :]
+    A_t = jnp.swapaxes(A, 1, 2).astype(jnp.float32)  # (B, N, Dp)
+    D2 = Dskip.astype(jnp.float32)[:, None, :]       # (B, 1, Dp)
+    b2 = bias.astype(jnp.float32)[:, None, :]        # (B, 1, Dp)
     has_z = z is not None
 
     # Visit chunks right-to-left: reverse the k index in every L-blocked map.
@@ -375,7 +388,7 @@ def _bwd_call(u, delta, A, B, C, Dskip, z, bias, chunk_states, dout, dlast,
     rev_n = lambda b, j, k: (b, nk - 1 - k, 0)
     ld_spec = pl.BlockSpec((1, chunk, dtile), rev)
     ln_spec = pl.BlockSpec((1, chunk, n), rev_n)
-    row_spec = pl.BlockSpec((1, dtile), lambda b, j, k: (0, j))
+    row_spec = pl.BlockSpec((1, 1, dtile), lambda b, j, k: (b, 0, j))
 
     in_specs = [ld_spec, ld_spec, ln_spec, ln_spec]
     inputs = [delta, u, B, C]
@@ -386,7 +399,7 @@ def _bwd_call(u, delta, A, B, C, Dskip, z, bias, chunk_states, dout, dlast,
         in_specs.append(pl.BlockSpec((1, 1), lambda b, j, k: (0, 0)))
         inputs.append(jnp.zeros((1, 1), u.dtype))
     in_specs += [
-        pl.BlockSpec((n, dtile), lambda b, j, k: (0, j)),
+        pl.BlockSpec((1, n, dtile), lambda b, j, k: (b, 0, j)),  # A
         row_spec,
         row_spec,
         ld_spec,  # dout
@@ -435,9 +448,11 @@ def _bwd_call(u, delta, A, B, C, Dskip, z, bias, chunk_states, dout, dlast,
     dB = dB[:, :L, :]
     dC = dC[:, :L, :]
     dz = dz[:, :L, :d] if has_z else None
-    dA = jnp.sum(dA_p, axis=0).T[:d]      # (D, N)
-    dD = jnp.sum(dD_p, axis=(0, 1))[:d]
-    dbias = jnp.sum(dbias_p, axis=(0, 1))[:d]
+    # per-batch parameter grads (B, dim, N) / (B, dim); the caller reduces
+    # over batch when the input parameter was shared
+    dA = jnp.swapaxes(dA_p, 1, 2)[:, :d, :]
+    dD = dD_p[:, 0, :d]
+    dbias = dbias_p[:, 0, :d]
     dh0 = jnp.swapaxes(dh0, 1, 2)[:, :d, :]  # -> (B, dim, N)
     return ddelta, du, dB, dC, dz, dA, dD, dbias, dh0
 
@@ -471,6 +486,12 @@ def _core_bwd(delta_softplus, chunk, dtile, res, cts):
         u, delta, A, B, C, Dskip, z, delta_bias, chunk_states,
         dout.astype(jnp.float32), dlast.astype(jnp.float32),
         delta_softplus, chunk, dtile)
+    if A.ndim == 2:
+        dA = jnp.sum(dA, axis=0)
+    if Dskip.ndim == 1:
+        dD = jnp.sum(dD, axis=0)
+    if delta_bias.ndim == 1:
+        dbias = jnp.sum(dbias, axis=0)
     cast = lambda g, x: g.astype(x.dtype)
     return (cast(du, u), cast(ddelta, delta), cast(dA, A), cast(dB, B),
             cast(dC, C), cast(dD, Dskip),

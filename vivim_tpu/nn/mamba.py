@@ -36,7 +36,7 @@ import jax.numpy as jnp
 import numpy as np
 from flax import linen as nn
 
-from vivim_tpu.kernels.mamba_inner import mamba_inner
+from vivim_tpu.kernels.mamba_inner import mamba_inner, mamba_inner_grouped
 from vivim_tpu.nn.layers import DropPath, Mlp, torch_linear_init
 
 
@@ -179,24 +179,40 @@ class MambaV3(nn.Module):
         if self.bias:
             xz = xz + in_bias[None, None, :]
 
-        p_f = self._direction_params("")
-        out = self._scan(xz, p_f)
-
-        if self.bimamba_type in ("v2", "v3"):
-            p_b = self._direction_params("_b")
-            out_b = self._scan(jnp.flip(xz, axis=1), p_b)
-            out = out + jnp.flip(out_b, axis=1)
-
         if self.bimamba_type == "v3":
+            # Batched tri-directional path: the three directional sequences
+            # (forward / time-flipped / spatial-permuted) and their parameter
+            # sets stack along the batch axis, so the whole mixer needs ONE
+            # conv+projection einsum chain and ONE Pallas scan invocation
+            # (the reference runs the CUDA pipeline three times,
+            # mamba_simple.py:215-260).
             if L % nframes:
                 raise ValueError(
                     f"seqlen {L} not divisible by nframes {nframes}")
+            p_f = self._direction_params("")
+            p_b = self._direction_params("_b")
             p_s = self._direction_params("_s")
-            xz_s = frame_to_position_major(xz, nframes)
-            out_s = self._scan(xz_s, p_s)
-            out = out + position_to_frame_major(out_s, nframes)
-            out = out / 3.0
-        # note: the reference v2 path does NOT average (mamba_simple.py:294)
+            stack = lambda key: jnp.stack(
+                [p_f[key], p_b[key], p_s[key]], axis=0)
+            xz_all = jnp.concatenate(
+                [xz, jnp.flip(xz, axis=1),
+                 frame_to_position_major(xz, nframes)], axis=0)
+            out_all = mamba_inner_grouped(
+                xz_all, stack("conv_w"), stack("conv_b"), stack("x_proj"),
+                stack("dt_proj"), stack("A_log"), stack("D"),
+                stack("dt_bias"), nb=B,
+                implementation=self.scan_implementation)
+            out_f, out_b, out_s = jnp.split(out_all, 3, axis=0)
+            out = (out_f + jnp.flip(out_b, axis=1)
+                   + position_to_frame_major(out_s, nframes)) / 3.0
+        else:
+            p_f = self._direction_params("")
+            out = self._scan(xz, p_f)
+            if self.bimamba_type == "v2":
+                p_b = self._direction_params("_b")
+                out_b = self._scan(jnp.flip(xz, axis=1), p_b)
+                # the reference v2 path does NOT average (mamba_simple.py:294)
+                out = out + jnp.flip(out_b, axis=1)
 
         out_proj = self.param("out_proj_kernel", torch_linear_init(),
                               (self.d_model, d_inner))
