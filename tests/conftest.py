@@ -21,7 +21,7 @@ import jax  # noqa: E402
 # programmatically so tests run on the virtual 8-device CPU mesh.
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_default_matmul_precision", "highest")
-# Persistent compilation cache: repeated pytest runs on the 1-vCPU test
-# machine skip recompiles of unchanged programs.
-jax.config.update("jax_compilation_cache_dir", "/tmp/jax_comp_cache")
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+# NOTE: deliberately no persistent compilation cache here — XLA:CPU AOT
+# entries written by TPU-backend processes carry different machine-feature
+# flags and reload with "could lead to SIGILL" warnings (observed flaky
+# numerics); compile fresh instead.

@@ -59,4 +59,6 @@ def build_train_parser(description="vivim_tpu training"):
     _add(p, "segformer", type=str, default="b3", choices=["b0", "b3", "tiny"])
     _add(p, "exact_gelu", type=str2bool, default=False,
          help="use the exact erf GELU (HF-bit-parity; ~4x slower on TPU)")
+    _add(p, "profile_dir", type=str, default=None,
+         help="write a jax.profiler trace of the first training steps")
     return p

@@ -40,7 +40,7 @@ def main(argv=None):
         lr=args.initlr, weight_decay=args.weight_decay,
         num_classes=args.num_classes, loss=args.loss,
         monitor="train/loss", monitor_mode="min", top_k=3, seed=args.seed,
-        bf16=args.bf16)
+        bf16=args.bf16, profile_dir=args.profile_dir)
     mesh = None
     if args.n_devices and args.n_devices > 1:
         from vivim_tpu.parallel.mesh import make_mesh

@@ -42,7 +42,8 @@ def run_fold(args, fold: int):
         epochs=args.epochs, val_freq=args.val_freq, lr=args.initlr,
         weight_decay=args.weight_decay, num_classes=args.num_classes,
         loss=args.loss, monitor="val/dice", monitor_mode="max", top_k=1,
-        seed=args.seed + fold, bf16=args.bf16)
+        seed=args.seed + fold, bf16=args.bf16,
+        profile_dir=args.profile_dir)
     mesh = None
     if args.n_devices and args.n_devices > 1:
         from vivim_tpu.parallel.mesh import make_mesh

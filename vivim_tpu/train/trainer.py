@@ -41,6 +41,8 @@ class TrainerConfig:
     log_every: int = 10
     seed: int = 42
     bf16: bool = False  # cast-params mixed precision (fp32 scan state kept)
+    profile_dir: str | None = None  # jax.profiler trace of early train steps
+    profile_steps: int = 5
 
 
 def confusion_matrix_from_labels(preds, targets, num_classes):
@@ -107,7 +109,13 @@ class Trainer:
         losses, jaccs = [], []
         t0 = time.time()
         n_frames = 0
+        profiling = (self.cfg.profile_dir is not None and self.epoch == 0)
         for i, batch in enumerate(self.train_loader):
+            if profiling and i == 1:  # skip the compile step
+                jax.profiler.start_trace(self.cfg.profile_dir)
+            if profiling and i == 1 + self.cfg.profile_steps:
+                jax.profiler.stop_trace()
+                profiling = False
             n_frames += batch["clip"].shape[0] * batch["clip"].shape[1]
             self.state, metrics = self.train_step(
                 self.state, self._device_batch(batch))
@@ -119,6 +127,8 @@ class Trainer:
                      "train/jaccard": float(metrics["jaccard"]),
                      "train/grad_norm": float(metrics["grad_norm"])},
                     step=int(self.state.step))
+        if profiling:  # epoch shorter than profile window
+            jax.profiler.stop_trace()
         dt = max(time.time() - t0, 1e-9)
         epoch_metrics = {
             "train/loss": float(np.mean([float(l) for l in losses])),
