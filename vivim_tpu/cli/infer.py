@@ -234,6 +234,14 @@ def plot_confusion_matrices(cm, output_dir):
 
 def main(argv=None):
     args = parse_args(argv)
+    wandb_run = None
+    if args.wandb:
+        try:
+            import wandb
+
+            wandb_run = wandb.init(project="vivim-tpu-inference")
+        except Exception as e:
+            print(f"[infer] wandb unavailable ({e})")
     model, cfg, variables = load_model(args)
     _, loader = prepare_test_data(args)
     results, cm, perf = run_inference(args, model, variables, loader)
@@ -247,6 +255,12 @@ def main(argv=None):
     }
     with open(os.path.join(args.output_dir, "metrics.json"), "w") as f:
         json.dump(summary, f, indent=2, default=str)
+    if wandb_run is not None:
+        flat = dict(perf)
+        for m in ("dice", "jaccard", "precision", "recall"):
+            flat[f"{m}_mean"] = results[m]["mean"]
+        wandb_run.log(flat)
+        wandb_run.finish()
     print(json.dumps(perf, indent=2))
     for m in ("dice", "jaccard", "precision", "recall"):
         print(m, results[m]["mean"], results[m]["per_class"])

@@ -154,18 +154,23 @@ class Trainer:
             cm += confusion_matrix_from_labels(
                 preds, targets, self.cfg.num_classes)
         results = tracker.get_results()
-        # micro jaccard over the full val set from the aggregated matrix
+        # aggregate-set metrics from the confusion matrix: micro Jaccard
+        # (torchmetrics MulticlassJaccardIndex average="micro") and macro
+        # Dice over classes present in GT or prediction (torchmetrics
+        # DiceScore average="macro" — the checkpoint monitor, :644-650)
         tp = np.diag(cm).sum()
         total = cm.sum()
-        micro_jacc = 0.0
-        tps = np.diag(cm)
-        fps = cm.sum(0) - tps
-        fns = cm.sum(1) - tps
+        tps = np.diag(cm).astype(np.float64)
+        fps = (cm.sum(0) - np.diag(cm)).astype(np.float64)
+        fns = (cm.sum(1) - np.diag(cm)).astype(np.float64)
         micro_jacc = tps.sum() / max((tps + fps + fns).sum(), 1)
+        denom = 2 * tps + fps + fns
+        present = denom > 0
+        macro_dice = float(np.mean(2 * tps[present] / denom[present]))             if present.any() else 0.0
         metrics = {
             "val/loss": float(np.mean(losses)) if losses else 0.0,
             "val/jacc": float(micro_jacc),
-            "val/dice": results["dice"]["mean"],
+            "val/dice": macro_dice,
             "val/accuracy": float(tp / max(total, 1)),
         }
         for m in tracker.TRACKED:
