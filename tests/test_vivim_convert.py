@@ -136,3 +136,42 @@ def test_vivim_conversion_roundtrip():
     # converted variables drive the model
     out, edge = model.apply(converted, x)
     assert out.shape == (1, 5, 32, 32, cfg.out_chans)
+
+
+def test_mamba_lm_conversion_roundtrip():
+    """MambaLMHeadModel-style state_dict -> MambaLM params, exact."""
+    from vivim_tpu.convert.torch_to_jax import mamba_lm_params_from_torch
+    from vivim_tpu.nn.lm import MambaLM, MambaLMConfig
+
+    cfg = MambaLMConfig(vocab_size=48, d_model=16, n_layer=2)
+    model = MambaLM(cfg, scan_implementation="ref")
+    toks = jnp.zeros((1, 4), jnp.int32)
+    params = model.init(jax.random.PRNGKey(0), toks)["params"]
+    sd = {"backbone.embedding.weight": np.asarray(params["embedding"])}
+    for i in range(2):
+        mp = params[f"mixer_{i}"]
+        pre = f"backbone.layers.{i}.mixer"
+        sd[f"{pre}.in_proj.weight"] = np.asarray(mp["in_proj_kernel"])
+        sd[f"{pre}.out_proj.weight"] = np.asarray(mp["out_proj_kernel"])
+        sd[f"{pre}.conv1d.weight"] = np.transpose(
+            np.asarray(mp["conv1d_kernel"]), (1, 0))[:, None, :]
+        sd[f"{pre}.conv1d.bias"] = np.asarray(mp["conv1d_bias"])
+        sd[f"{pre}.x_proj.weight"] = np.asarray(mp["x_proj_kernel"])
+        sd[f"{pre}.dt_proj.weight"] = np.asarray(mp["dt_proj_kernel"])
+        sd[f"{pre}.dt_proj.bias"] = np.asarray(mp["dt_proj_bias"])
+        sd[f"{pre}.A_log"] = np.asarray(mp["A_log"])
+        sd[f"{pre}.D"] = np.asarray(mp["D"])
+        sd[f"backbone.layers.{i}.norm.weight"] = np.asarray(
+            params[f"norm_{i}"]["scale"])
+        sd[f"backbone.layers.{i}.norm.bias"] = np.asarray(
+            params[f"norm_{i}"]["bias"])
+    sd["backbone.norm_f.weight"] = np.asarray(params["norm_f"]["scale"])
+    sd["backbone.norm_f.bias"] = np.asarray(params["norm_f"]["bias"])
+    conv = mamba_lm_params_from_torch(sd, 2)
+    fa = dict(jax.tree_util.tree_flatten_with_path(params)[0])
+    fb = dict(jax.tree_util.tree_flatten_with_path(conv)[0])
+    assert set(fa) == set(fb)
+    for k in fa:
+        np.testing.assert_array_equal(np.asarray(fa[k]), np.asarray(fb[k]))
+    out = model.apply({"params": conv}, toks)
+    assert out.shape == (1, 4, cfg.padded_vocab)

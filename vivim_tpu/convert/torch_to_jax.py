@@ -219,3 +219,21 @@ def vivim_params_from_torch(sd, cfg):
         "var": _np(sd["decoder.batch_norm.running_var"]),
     }}
     return {"params": params, "batch_stats": batch_stats}
+
+
+def mamba_lm_params_from_torch(sd, n_layer):
+    """Reference MambaLMHeadModel state_dict -> nn.lm.MambaLM params.
+
+    Name map (mixer_seq_simple.py:83-233): ``backbone.embedding.weight``
+    (tied lm_head), per layer ``backbone.layers.{i}.mixer.*`` (single
+    forward-direction Mamba) and ``backbone.layers.{i}.norm.*``, final
+    ``backbone.norm_f.*``.
+    """
+    sd = strip_lightning_prefix(sd)
+    params = {"embedding": _np(sd["backbone.embedding.weight"])}
+    for i in range(n_layer):
+        params[f"mixer_{i}"] = mamba_params_from_torch(
+            sd, f"backbone.layers.{i}.mixer")
+        params[f"norm_{i}"] = _ln(sd, f"backbone.layers.{i}.norm")
+    params["norm_f"] = _ln(sd, "backbone.norm_f")
+    return params
