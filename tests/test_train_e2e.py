@@ -72,3 +72,27 @@ def test_validation_shapes(env):
     assert cm.sum() > 0
     assert "val/dice" in metrics and "val/jacc" in metrics
     assert len(results["dice"]["per_class"]) == 3
+
+
+def test_bf16_train_step(env):
+    """Mixed-precision step: f32 master params, bf16 compute, finite loss."""
+    import jax
+    import jax.numpy as jnp
+
+    from vivim_tpu.train import loop as loop_lib
+    from vivim_tpu.nn.vivim import Vivim, VivimConfig
+
+    cfg = VivimConfig.tiny_test()
+    model = Vivim(cfg)
+    clip = jnp.zeros((1, 3, 32, 32, 3), jnp.float32)
+    state, tx = loop_lib.create_train_state(
+        model, clip, jax.random.PRNGKey(0), 1e-3, 1e-2, 10)
+    step = loop_lib.make_train_step(model, "recall_focused", 3, tx,
+                                    compute_dtype=jnp.bfloat16)
+    labels = jax.random.randint(jax.random.PRNGKey(1), (1, 3, 32, 32), 0, 3)
+    batch = {"clip": clip, "masks": jax.nn.one_hot(labels, 3)}
+    state, metrics = step(state, batch)
+    assert np.isfinite(float(metrics["loss"]))
+    # master params remain f32
+    leaves = jax.tree_util.tree_leaves(state.params)
+    assert all(l.dtype in (jnp.float32,) for l in leaves)

@@ -70,18 +70,16 @@ class Trainer:
 
         steps_per_epoch = max(len(train_loader), 1)
         self.total_steps = cfg.epochs * steps_per_epoch
-        sample = next(iter(train_loader))
         import jax.numpy as jnp
 
+        sample = next(iter(train_loader))
         sample_clip = jnp.zeros(sample["clip"].shape, jnp.float32)
         self.state, self.tx = loop_lib.create_train_state(
             model, sample_clip, jax.random.PRNGKey(cfg.seed), cfg.lr,
             cfg.weight_decay, self.total_steps, mesh=mesh)
         _, self.lr_schedule = loop_lib.make_optimizer(
             cfg.lr, cfg.weight_decay, self.total_steps)
-        import jax.numpy as jnp2
-
-        compute_dtype = jnp2.bfloat16 if cfg.bf16 else None
+        compute_dtype = jnp.bfloat16 if cfg.bf16 else None
         self.train_step = loop_lib.make_train_step(
             model, cfg.loss, cfg.num_classes, self.tx,
             edge_loss_fn=edge_loss_fn if with_edge else None,
