@@ -96,3 +96,28 @@ def test_bf16_train_step(env):
     # master params remain f32
     leaves = jax.tree_util.tree_leaves(state.params)
     assert all(l.dtype in (jnp.float32,) for l in leaves)
+
+
+def test_pretrained_partial_load(env, tmp_path):
+    """init_weight semantics: overlapping keys loaded, rest kept
+    (multiclass_training_folds.py:519-532)."""
+    import argparse
+
+    import jax
+
+    from vivim_tpu.cli.common import maybe_load_pretrained
+    from vivim_tpu.train.checkpoints import save_params
+
+    _, trainer = env
+    path = str(tmp_path / "pre")
+    save_params(path, trainer.state.params)
+    args = argparse.Namespace(pretrain=path)
+    state2 = maybe_load_pretrained(args, trainer.model, trainer.state)
+    a = jax.tree_util.tree_leaves(trainer.state.params)
+    b = jax.tree_util.tree_leaves(state2.params)
+    for x, y in zip(a, b):
+        np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
+    # pretrain=None is a no-op
+    args = argparse.Namespace(pretrain=None)
+    assert maybe_load_pretrained(args, trainer.model, trainer.state) is \
+        trainer.state

@@ -61,4 +61,18 @@ def build_train_parser(description="vivim_tpu training"):
          help="use the exact erf GELU (HF-bit-parity; ~4x slower on TPU)")
     _add(p, "profile_dir", type=str, default=None,
          help="write a jax.profiler trace of the first training steps")
+    # Vestigial reference flags (cfg.py:4-42) — accepted for drop-in CLI
+    # compatibility; unused here (single-accelerator device selection,
+    # legacy dataset switches)
+    for name, default in (("vis", False), ("train_vis", False),
+                          ("gpu", True), ("val_vis", False)):
+        _add(p, name, type=str2bool, default=default,
+             help="(reference compatibility; unused)")
+    for name, default in (("gpu_device", 0), ("out_size", 256),
+                          ("crop_size", 256), ("shift_length", 32)):
+        _add(p, name, type=int, default=default,
+             help="(reference compatibility; unused)")
+    for name in ("distributed", "dataset", "weights"):
+        _add(p, name, type=str, default=None,
+             help="(reference compatibility; unused)")
     return p

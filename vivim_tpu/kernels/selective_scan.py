@@ -541,3 +541,20 @@ def selective_scan(
         u, delta, A, B, C, Dskip, z, bias, initial_state, delta_softplus,
         chunk, dtile)
     return (y, last_state) if return_last_state else y
+
+
+def selective_scan_cm(u, delta, A, B, C, D=None, z=None, delta_bias=None,
+                      delta_softplus=False, return_last_state=False,
+                      **kwargs):
+    """Channel-major ``(batch, dim, L)`` wrapper with the exact reference
+    signature (selective_scan_fn, selective_scan_interface.py:59-83) around
+    the time-major Pallas kernel."""
+    tm = lambda x: jnp.swapaxes(x, 1, 2) if x is not None else None
+    B_ = tm(B) if B.ndim == 3 else B
+    C_ = tm(C) if C.ndim == 3 else C
+    out = selective_scan(tm(u), tm(delta), A, B_, C_, D, tm(z), delta_bias,
+                         delta_softplus, return_last_state, **kwargs)
+    if return_last_state:
+        y, last = out
+        return tm(y), last
+    return tm(out)

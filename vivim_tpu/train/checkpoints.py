@@ -115,8 +115,10 @@ def _rmtree(path):
 
 
 def save_params(path: str, params: Any):
-    """Standalone parameter export (inference artifacts)."""
-    ocp.StandardCheckpointer().save(os.path.abspath(path), params, force=True)
+    """Standalone parameter export (inference artifacts).  Synchronous."""
+    ckptr = ocp.StandardCheckpointer()
+    ckptr.save(os.path.abspath(path), params, force=True)
+    ckptr.wait_until_finished()
 
 
 def load_params(path: str, target: Any):
