@@ -80,7 +80,7 @@ def main():
     _ = float(metrics["loss"])
 
     best = float("inf")
-    for _ in range(3):
+    for _ in range(int(os.environ.get("BENCH_REPEATS", 5))):
         t0 = time.time()
         for _ in range(STEPS):
             state, metrics = step_fn(state, batch)

@@ -7,12 +7,20 @@ from vivim_tpu.data.clips import (
     select_random,
 )
 from vivim_tpu.data.dataset import ClipDataset, ClipRecord, index_video_tree
+from vivim_tpu.data.gather import (
+    gather_binary_frames,
+    gather_frame_sequences,
+    gather_multiclass_frames,
+)
 from vivim_tpu.data.loader import DataLoader
 
 __all__ = [
     "ClipDataset",
     "ClipRecord",
     "DataLoader",
+    "gather_binary_frames",
+    "gather_frame_sequences",
+    "gather_multiclass_frames",
     "index_video_tree",
     "select_equispaced",
     "select_random",
