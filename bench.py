@@ -37,6 +37,10 @@ def main():
     # rbg PRNG: dropout-mask generation with threefry is a visible cost on
     # the VPU (profiled ~several ms/step); rbg is the TPU-native generator
     jax.config.update("jax_default_prng_impl", "rbg")
+    # persistent compile cache: repeated bench runs skip the ~10 min compile
+    jax.config.update("jax_compilation_cache_dir",
+                      os.environ.get("JAX_COMPILATION_CACHE_DIR",
+                                     "/tmp/jax_comp_cache"))
     import jax.numpy as jnp
 
     from vivim_tpu.nn.vivim import Vivim, VivimConfig
