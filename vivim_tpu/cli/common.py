@@ -4,7 +4,7 @@ from __future__ import annotations
 
 import os
 
-from vivim_tpu.data.dataset import ClipDataset, MULTICLASS_KEYS
+from vivim_tpu.data.dataset import ClipDataset
 from vivim_tpu.data.loader import DataLoader
 from vivim_tpu.nn import segformer as sf
 from vivim_tpu.nn.vivim import Vivim, VivimConfig

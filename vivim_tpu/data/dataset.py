@@ -26,7 +26,6 @@ import dataclasses
 import os
 import random as _random
 import re
-from typing import Sequence
 
 import numpy as np
 from PIL import Image

@@ -34,7 +34,6 @@ Layout is time-major: ``u/delta/z: (B, L, D)``, ``Bv/Cv: (B, L, N)``,
 from __future__ import annotations
 
 import functools
-import math
 
 import jax
 import jax.numpy as jnp

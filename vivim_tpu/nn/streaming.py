@@ -16,8 +16,6 @@ parameters) with time-major activations.
 
 from __future__ import annotations
 
-import math
-
 import jax
 import jax.numpy as jnp
 

@@ -12,7 +12,6 @@ Reference: /root/reference/complements/train_binary.py —
 from __future__ import annotations
 
 import jax
-import jax.numpy as jnp
 import numpy as np
 import optax
 

@@ -22,7 +22,6 @@ all-reduce (no Lightning/DDP machinery).  no-weight-decay parameters
 
 from __future__ import annotations
 
-import functools
 from typing import Any, Callable
 
 import jax

@@ -24,7 +24,7 @@ import numpy as np
 from vivim_tpu.train import loop as loop_lib
 from vivim_tpu.train.checkpoints import CheckpointManager
 from vivim_tpu.train.logging import MetricLogger
-from vivim_tpu.train.metrics import MulticlassMetricsTracker, per_class_confusion
+from vivim_tpu.train.metrics import MulticlassMetricsTracker
 
 
 @dataclasses.dataclass
