@@ -123,3 +123,35 @@ def test_index_video_tree_ordering(tmp_path):
     # mask paths resolved, missing ones None
     assert frames[0]["background"] is not None
     assert frames[0]["non-solid"] is None  # i % 3 == 0 frames lack it
+
+
+def test_augmentation_geometric_sync():
+    """Geometric transforms apply identically to the frame and all masks."""
+    from PIL import Image
+
+    from vivim_tpu.data import augment as aug
+    import random
+
+    rng_img = np.random.default_rng(0)
+    arr = rng_img.integers(0, 255, (32, 32, 3), np.uint8)
+    arr[:, :16] = 0  # left half black so a flip is detectable
+    img = Image.fromarray(arr)
+    mask_arr = np.zeros((32, 32), np.uint8)
+    mask_arr[:, :16] = 255
+    mask = Image.fromarray(mask_arr)
+
+    img2, (mask2,) = aug.random_flip(random.Random(0), img, [mask], p=1.0)
+    a2 = np.asarray(img2)
+    m2 = np.asarray(mask2)
+    # both flipped: black half and mask half moved to the right
+    assert a2[:, 16:].sum() == 0 and m2[:, 16:].sum() > 0
+    assert m2[:, :16].sum() == 0
+
+    # rotation stays synchronized: rotate by a fixed angle, mask follows
+    r = random.Random(1)
+    img3, (mask3,) = aug.random_rotation(r, img, [mask], p=1.0)
+    m3 = np.asarray(mask3) > 128
+    a3 = np.asarray(img3).sum(-1) == 0
+    # the black region of the rotated image coincides with the mask region
+    overlap = (m3 & a3).sum() / max(m3.sum(), 1)
+    assert overlap > 0.9

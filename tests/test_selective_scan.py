@@ -200,3 +200,35 @@ def test_initial_state_grad():
         lambda *a, **k: selective_scan(*a, chunk=16, **k), h_))(h0)
     np.testing.assert_allclose(np.asarray(g_pal), np.asarray(g_ref),
                                rtol=1e-3, atol=1e-3)
+
+
+def test_grouped_equals_separate_directions():
+    """mamba_inner_grouped == three separate mamba_inner calls."""
+    from vivim_tpu.kernels.mamba_inner import mamba_inner_grouped
+
+    rng = np.random.default_rng(5)
+    G, nb, L, d_inner, n, width, rank = 3, 2, 24, 16, 4, 4, 2
+    xz = jnp.asarray(rng.standard_normal((G * nb, L, 2 * d_inner)),
+                     jnp.float32)
+    conv_w = jnp.asarray(rng.standard_normal((G, width, d_inner)) * 0.3,
+                         jnp.float32)
+    conv_b = jnp.asarray(rng.standard_normal((G, d_inner)) * 0.1, jnp.float32)
+    x_proj = jnp.asarray(rng.standard_normal((G, rank + 2 * n, d_inner)) * 0.2,
+                         jnp.float32)
+    dt_proj = jnp.asarray(rng.standard_normal((G, d_inner, rank)) * 0.2,
+                          jnp.float32)
+    A_log = jnp.asarray(np.log(1.0 + rng.random((G, d_inner, n))),
+                        jnp.float32)
+    D = jnp.asarray(rng.standard_normal((G, d_inner)), jnp.float32)
+    bias = jnp.asarray(0.1 * rng.standard_normal((G, d_inner)), jnp.float32)
+
+    got = mamba_inner_grouped(xz, conv_w, conv_b, x_proj, dt_proj, A_log, D,
+                              bias, nb=nb, implementation="ref")
+    for g in range(G):
+        want = mamba_inner(
+            xz[g * nb : (g + 1) * nb], conv_w[g], conv_b[g], x_proj[g],
+            dt_proj[g], -jnp.exp(A_log[g]), D=D[g], delta_bias=bias[g],
+            implementation="ref")
+        np.testing.assert_allclose(
+            np.asarray(got[g * nb : (g + 1) * nb]), np.asarray(want),
+            rtol=2e-3, atol=2e-3, err_msg=f"direction {g}")
