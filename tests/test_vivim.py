@@ -64,3 +64,30 @@ def test_edge_head_and_binary():
     logits, edge = jax.jit(model.apply)(variables, x)
     assert logits.shape == (1, 3, 32, 32, 1)
     assert edge.shape == (1, 3, 32, 32, 1)
+
+
+def test_decode_fuse_commutes_with_upsampling():
+    """The eval fast path's algebraic identity: conv1x1(concat(up(t_i)))
+    == sum_i up(t_i @ W_i) for bilinear upsampling."""
+    from vivim_tpu.nn.segformer import resize_bilinear
+
+    rng = np.random.default_rng(0)
+    BT, hid, H0, W0 = 2, 8, 16, 16
+    scales = [(16, 16), (8, 8), (4, 4), (2, 2)]
+    ts = [jnp.asarray(rng.standard_normal((BT, h, w, hid)), jnp.float32)
+          for h, w in scales]
+    Wf = jnp.asarray(rng.standard_normal((4 * hid, hid)) * 0.2, jnp.float32)
+
+    concat = jnp.concatenate(
+        [resize_bilinear(t, (H0, W0)) for t in ts][::-1], axis=-1)
+    want = jnp.einsum("bhwc,cd->bhwd", concat, Wf)
+
+    got = None
+    for i, t in enumerate(ts):
+        j = len(ts) - 1 - i
+        w = Wf[j * hid : (j + 1) * hid]
+        r = resize_bilinear(
+            jnp.einsum("bhwc,cd->bhwd", t, w), (H0, W0))
+        got = r if got is None else got + r
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-4, atol=1e-5)
