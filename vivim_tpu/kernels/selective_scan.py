@@ -100,6 +100,32 @@ def _chunk_scan(a, b):
     return outA, outB
 
 
+def _prefix_scan_b(a, b):
+    """Inclusive prefix scan returning only the b chain (the carried state
+    is folded into b[0] by the caller, so the cumulative-a chain that
+    ``_chunk_scan`` also materializes is unnecessary — ~20% fewer VPU ops)."""
+    C = a.shape[0]
+    if C == 1:
+        return b
+    rest = a.shape[1:]
+    half = (C // 2,) + rest
+    ar = a.reshape((C // 2, 2) + rest)
+    br = b.reshape((C // 2, 2) + rest)
+    ae = jax.lax.slice_in_dim(ar, 0, 1, axis=1).reshape(half)
+    ao = jax.lax.slice_in_dim(ar, 1, 2, axis=1).reshape(half)
+    be = jax.lax.slice_in_dim(br, 0, 1, axis=1).reshape(half)
+    bo = jax.lax.slice_in_dim(br, 1, 2, axis=1).reshape(half)
+    a_pair = ae * ao
+    b_pair = ao * be + bo
+    oddB = _prefix_scan_b(a_pair, b_pair)
+    if C == 2:
+        evenB = be
+    else:
+        prevB = jnp.concatenate([jnp.zeros_like(oddB[:1]), oddB[:-1]], axis=0)
+        evenB = ae * prevB + be
+    return jnp.stack([evenB, oddB], axis=1).reshape((C,) + rest)
+
+
 def _suffix_scan(a, b):
     """Suffix scan ``out[t] = b[t] + a[t] * out[t+1]`` along axis 0 (len
     power of two).  Used for the adjoint recurrence, which runs in reverse
@@ -139,7 +165,7 @@ def _round_up(x: int, m: int) -> int:
 
 def _fwd_kernel(delta_ref, u_ref, B_ref, C_ref, z_ref, A_ref, D_ref, bias_ref,
                 h0_ref, y_ref, cs_ref, ls_ref, state, *, softplus: bool,
-                has_z: bool):
+                has_z: bool, save_cs: bool):
     k = pl.program_id(2)
     nk = pl.num_programs(2)
 
@@ -147,9 +173,12 @@ def _fwd_kernel(delta_ref, u_ref, B_ref, C_ref, z_ref, A_ref, D_ref, bias_ref,
     def _():
         state[...] = h0_ref[0].astype(jnp.float32)
 
-    # Save the chunk-start state for the backward pass (cf. the CUDA fwd
-    # kernel's x[b, d, chunk, 2*dstate] stash, selective_scan_fwd_kernel.cuh:236-254).
-    cs_ref[0, 0] = state[...]
+    if save_cs:
+        # Save the chunk-start state for the backward pass (cf. the CUDA fwd
+        # kernel's x[b, d, chunk, 2*dstate] stash,
+        # selective_scan_fwd_kernel.cuh:236-254).  Inference-only calls skip
+        # this output entirely.
+        cs_ref[0, 0] = state[...]
 
     dp = delta_ref[0].astype(jnp.float32) + bias_ref[0].astype(jnp.float32)
     if softplus:
@@ -160,8 +189,10 @@ def _fwd_kernel(delta_ref, u_ref, B_ref, C_ref, z_ref, A_ref, D_ref, bias_ref,
     Bt = B_ref[0].astype(jnp.float32)               # (C, N)
     bu = (dp * uf)[:, None, :] * Bt[:, :, None]     # (C, N, DT)
 
-    a_cum, h = _chunk_scan(a, bu)
-    h = h + a_cum * state[...][None]
+    # fold the carried state into the first step: h = prefix-scan of b only
+    bu = jnp.concatenate(
+        [(_take0(bu) + _take0(a) * state[...])[None], bu[1:]], axis=0)
+    h = _prefix_scan_b(a, bu)
     state[...] = _take_last(h)
 
     Ct = C_ref[0].astype(jnp.float32)               # (C, N)
@@ -199,8 +230,9 @@ def _bwd_kernel(delta_ref, u_ref, B_ref, C_ref, z_ref, A_ref, D_ref, bias_ref,
     Ct = C_ref[0].astype(jnp.float32)
     bu = (dp * uf)[:, None, :] * Bt[:, :, None]
     h0 = cs_ref[0, 0].astype(jnp.float32)           # (N, DT) chunk-start state
-    a_cum, hs = _chunk_scan(a, bu)
-    h = hs + a_cum * h0[None]
+    bu = jnp.concatenate(
+        [(_take0(bu) + _take0(a) * h0)[None], bu[1:]], axis=0)
+    h = _prefix_scan_b(a, bu)
     h_prev = jnp.concatenate([h0[None], h[:-1]], axis=0)
 
     dy = dout_ref[0].astype(jnp.float32)            # (C, DT)
@@ -307,7 +339,8 @@ def _interpret() -> bool:
     return jax.default_backend() != "tpu"
 
 
-def _fwd_call(u, delta, A, B, C, Dskip, z, bias, h0, softplus, chunk, dtile):
+def _fwd_call(u, delta, A, B, C, Dskip, z, bias, h0, softplus, chunk, dtile,
+              save_cs=True):
     u, delta, B, C, z, A, Dskip, bias, dims = _pad_args(
         u, delta, B, C, z, A, Dskip, bias, softplus, chunk, dtile)
     batch, L, d, n, Lp, dpad = dims
@@ -342,19 +375,24 @@ def _fwd_call(u, delta, A, B, C, Dskip, z, bias, h0, softplus, chunk, dtile):
     ]
     inputs += [A_t, D2, b2, h0]
 
-    kernel = functools.partial(_fwd_kernel, softplus=softplus, has_z=has_z)
+    kernel = functools.partial(_fwd_kernel, softplus=softplus, has_z=has_z,
+                               save_cs=save_cs)
+    cs_spec = (pl.BlockSpec((1, 1, n, dtile), lambda b, j, k: (b, k, 0, j))
+               if save_cs else
+               pl.BlockSpec((1, 1, n, dtile), lambda b, j, k: (0, 0, 0, 0)))
+    cs_shape = ((batch, nk, n, dpad) if save_cs else (1, 1, n, dtile))
     y, chunk_states, last_state = pl.pallas_call(
         kernel,
         grid=(batch, nd, nk),
         in_specs=in_specs,
         out_specs=[
             ld_spec,
-            pl.BlockSpec((1, 1, n, dtile), lambda b, j, k: (b, k, 0, j)),
+            cs_spec,
             pl.BlockSpec((1, n, dtile), lambda b, j, k: (b, 0, j)),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((batch, Lp, dpad), u.dtype),
-            jax.ShapeDtypeStruct((batch, nk, n, dpad), jnp.float32),
+            jax.ShapeDtypeStruct(cs_shape, jnp.float32),
             jax.ShapeDtypeStruct((batch, n, dpad), jnp.float32),
         ],
         scratch_shapes=[pltpu.VMEM((n, dtile), jnp.float32)],
@@ -465,7 +503,7 @@ def _bwd_call(u, delta, A, B, C, Dskip, z, bias, chunk_states, dout, dlast,
 def _selective_scan_core(u, delta, A, B, C, Dskip, z, delta_bias, h0,
                          delta_softplus, chunk, dtile):
     y, _, last_state = _fwd_call(u, delta, A, B, C, Dskip, z, delta_bias, h0,
-                                 delta_softplus, chunk, dtile)
+                                 delta_softplus, chunk, dtile, save_cs=False)
     return y, last_state
 
 
