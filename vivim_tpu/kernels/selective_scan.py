@@ -570,6 +570,11 @@ def selective_scan(
             return_last_state, initial_state=initial_state)
     if chunk & (chunk - 1):
         raise ValueError(f"chunk must be a power of two, got {chunk}")
+    if chunk > 256:
+        # the backward holds ~7 (chunk, N, 128) fp32 arrays in VMEM
+        # (~56KB * chunk with N=16); 512 exceeds the 16MB scoped-vmem limit.
+        # 128 and 256 measure within noise of each other on v5e.
+        raise ValueError(f"chunk {chunk} exceeds the VMEM envelope (max 256)")
     d = u.shape[-1]
     Dskip = jnp.zeros((d,), jnp.float32) if D is None else D
     bias = jnp.zeros((d,), jnp.float32) if delta_bias is None else delta_bias
