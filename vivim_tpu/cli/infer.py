@@ -54,6 +54,12 @@ def parse_args(argv=None):
     p.add_argument("--gathered", type=lambda v: str(v).lower() in
                    ("1", "true"), default=True,
                    help="data_dir is already a gathered video tree")
+    p.add_argument("--wandb_project", type=str,
+                   default="vivim-tpu-inference")
+    p.add_argument("--wandb_name", type=str, default="vivim_inference")
+    p.add_argument("-cv_group", "--cv_group", type=str,
+                   default="Vivim_Inference",
+                   help="(reference compatibility; unused)")
     return p.parse_args(argv)
 
 
@@ -239,7 +245,8 @@ def main(argv=None):
         try:
             import wandb
 
-            wandb_run = wandb.init(project="vivim-tpu-inference")
+            wandb_run = wandb.init(project=args.wandb_project,
+                                   name=args.wandb_name)
         except Exception as e:
             print(f"[infer] wandb unavailable ({e})")
     model, cfg, variables = load_model(args)
