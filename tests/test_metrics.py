@@ -39,6 +39,47 @@ def test_edge_case_conventions():
     assert M.specificity(5, 0, 0, 0) == 0.0  # reference full
 
 
+def test_rate_metric_formulas():
+    """The 10 registry entries added for misc2.py:386-406 parity."""
+    tp, fp, tn, fn = 6, 2, 10, 2
+    assert M.false_positive_rate(tp, fp, tn, fn) == pytest.approx(2 / 12)
+    assert M.false_omission_rate(tp, fp, tn, fn) == pytest.approx(2 / 12)
+    assert M.negative_predictive_value(tp, fp, tn, fn) == pytest.approx(10 / 12)
+    assert M.false_negative_rate(tp, fp, tn, fn) == pytest.approx(2 / 8)
+    assert M.true_negative_rate(tp, fp, tn, fn) == pytest.approx(10 / 12)
+    assert M.false_discovery_rate(tp, fp, tn, fn) == pytest.approx(2 / 8)
+    assert M.total_positives_test(tp, fp, tn, fn) == 8
+    assert M.total_negatives_test(tp, fp, tn, fn) == 12
+    assert M.total_positives_reference(tp, fp, tn, fn) == 8
+    assert M.total_negatives_reference(tp, fp, tn, fn) == 12
+
+
+def test_rate_metric_edge_conventions():
+    # reference returns 1 - <base metric>, so nonexisting -> 1 - 0 = 1.0
+    # by default and 1 - NaN = NaN when nan_for_nonexisting (misc2 exactly)
+    assert M.false_positive_rate(5, 0, 0, 0) == 1.0  # reference full
+    assert np.isnan(M.false_positive_rate(5, 0, 0, 0, nan_for_nonexisting=True))
+    assert M.false_omission_rate(5, 5, 0, 0) == 0.0  # test full
+    assert np.isnan(M.false_omission_rate(5, 5, 0, 0, nan_for_nonexisting=True))
+    assert M.negative_predictive_value(5, 5, 0, 0) == 1.0  # 1 - FOR
+    assert M.false_negative_rate(0, 3, 10, 0) == 1.0  # reference empty
+    assert M.false_discovery_rate(0, 0, 10, 2) == 1.0  # test empty
+    assert M.true_negative_rate(5, 0, 0, 0) == 0.0  # == specificity
+
+
+def test_all_metrics_registry_complete():
+    # full misc2.py:386-406 surface (plus our extra direct entries)
+    for name in ("false_positive_rate", "dice", "jaccard",
+                 "hausdorff_distance", "hausdorff_distance_95", "precision",
+                 "recall", "avg_surface_distance_symmetric",
+                 "avg_surface_distance", "accuracy", "false_omission_rate",
+                 "negative_predictive_value", "false_negative_rate",
+                 "true_negative_rate", "false_discovery_rate",
+                 "total_positives_test", "total_negatives_test",
+                 "total_positives_reference", "total_negatives_reference"):
+        assert name in M.ALL_METRICS, name
+
+
 def test_tracker_presence_gating():
     tr = M.MulticlassMetricsTracker(num_classes=3)
     gt = np.zeros((2, 8, 8), np.int32)

@@ -106,6 +106,61 @@ def fscore(tp, fp, tn, fn, nan_for_nonexisting=False, beta=1.0):
     return float((1 + b2) * tp / denom)
 
 
+def false_positive_rate(tp, fp, tn, fn, nan_for_nonexisting=False):
+    """FP / (FP + TN) == 1 - specificity (misc2.py:222-225).
+
+    Mirrors the reference exactly: when the denominator case is
+    nonexisting this is 1 - 0 = 1.0 (or 1 - NaN = NaN)."""
+    return 1.0 - specificity(tp, fp, tn, fn, nan_for_nonexisting)
+
+
+def false_omission_rate(tp, fp, tn, fn, nan_for_nonexisting=False):
+    """FN / (TN + FN); test full -> 0/NaN (misc2.py:228-243)."""
+    if tn + fn == 0:  # test full
+        return _nan_or_zero(nan_for_nonexisting)
+    return float(fn / (fn + tn))
+
+
+def negative_predictive_value(tp, fp, tn, fn, nan_for_nonexisting=False):
+    """TN / (TN + FN) == 1 - false_omission_rate (misc2.py:263-266)."""
+    return 1.0 - false_omission_rate(tp, fp, tn, fn, nan_for_nonexisting)
+
+
+def false_negative_rate(tp, fp, tn, fn, nan_for_nonexisting=False):
+    """FN / (TP + FN) == 1 - sensitivity (misc2.py:246-249)."""
+    return 1.0 - sensitivity(tp, fp, tn, fn, nan_for_nonexisting)
+
+
+def true_negative_rate(tp, fp, tn, fn, nan_for_nonexisting=False):
+    """TN / (TN + FP) == specificity (misc2.py:252-255)."""
+    return specificity(tp, fp, tn, fn, nan_for_nonexisting)
+
+
+def false_discovery_rate(tp, fp, tn, fn, nan_for_nonexisting=False):
+    """FP / (TP + FP) == 1 - precision (misc2.py:258-260)."""
+    return 1.0 - precision(tp, fp, tn, fn, nan_for_nonexisting)
+
+
+def total_positives_test(tp, fp, tn, fn, **_):
+    """TP + FP (misc2.py:269-277)."""
+    return tp + fp
+
+
+def total_negatives_test(tp, fp, tn, fn, **_):
+    """TN + FN (misc2.py:280-288)."""
+    return tn + fn
+
+
+def total_positives_reference(tp, fp, tn, fn, **_):
+    """TP + FN (misc2.py:291-299)."""
+    return tp + fn
+
+
+def total_negatives_reference(tp, fp, tn, fn, **_):
+    """TN + FP (misc2.py:302-310)."""
+    return tn + fp
+
+
 CONFUSION_METRICS = {
     "dice": dice,
     "jaccard": jaccard,
@@ -115,6 +170,16 @@ CONFUSION_METRICS = {
     "specificity": specificity,
     "accuracy": accuracy,
     "f_measure": fscore,
+    "false_positive_rate": false_positive_rate,
+    "false_omission_rate": false_omission_rate,
+    "negative_predictive_value": negative_predictive_value,
+    "false_negative_rate": false_negative_rate,
+    "true_negative_rate": true_negative_rate,
+    "false_discovery_rate": false_discovery_rate,
+    "total_positives_test": total_positives_test,
+    "total_negatives_test": total_negatives_test,
+    "total_positives_reference": total_positives_reference,
+    "total_negatives_reference": total_negatives_reference,
 }
 
 
