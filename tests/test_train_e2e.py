@@ -18,6 +18,81 @@ from vivim_tpu.train.logging import MetricLogger
 from vivim_tpu.train.trainer import Trainer, TrainerConfig
 
 
+def test_multiclass_edge_train_step():
+    """-with_edge multiclass wiring: train step with the center-frame
+    joint-edge criterion runs and produces finite loss + grads."""
+    import jax
+    import jax.numpy as jnp
+
+    from vivim_tpu.train import loop as loop_lib
+    from vivim_tpu.train.edge_loss import make_multiclass_edge_criterion
+
+    cfg = VivimConfig.tiny_test(with_edge=True)
+    model = Vivim(cfg)
+    B, T, S = 1, 3, 32
+    rng = np.random.default_rng(0)
+    batch = {
+        "clip": jnp.asarray(rng.standard_normal((B, T, S, S, 3)),
+                            jnp.float32),
+        "masks": jax.nn.one_hot(
+            jnp.asarray(rng.integers(0, 3, (B, T, S, S))), 3),
+        "edges": jnp.asarray(rng.random((B, T, S, S, 1)) > 0.8,
+                             jnp.float32),
+    }
+    state, tx = loop_lib.create_train_state(
+        model, batch["clip"], jax.random.PRNGKey(0), lr=1e-3,
+        weight_decay=1e-2, total_steps=10)
+    step = loop_lib.make_train_step(
+        model, "recall_focused", 3, tx,
+        edge_loss_fn=make_multiclass_edge_criterion())
+    state, metrics = step(state, batch)
+    assert np.isfinite(float(metrics["loss"]))
+    # eval step includes the edge term too
+    eval_step = loop_lib.make_eval_step(
+        model, "recall_focused", 3, with_edge=True,
+        edge_loss_fn=make_multiclass_edge_criterion())
+    loss, logits, targets = eval_step(state, batch)
+    assert np.isfinite(float(loss))
+    assert logits.shape == (B * T, S, S, 3)
+
+
+def test_decay_mask_modes():
+    """'tagged' skips biases/norms/A_log; 'torch' decays everything
+    (reference parity: multiclass_training_folds.py:505 has no param
+    groups, so decay applies to ALL params there)."""
+    import jax
+    import jax.numpy as jnp
+
+    from vivim_tpu.train import loop as loop_lib
+
+    params = {
+        "dense": {"kernel": jnp.ones((4, 4)), "bias": jnp.ones((4,))},
+        "mamba": {"A_log": jnp.ones((4, 8)), "D": jnp.ones((4,))},
+    }
+    zero_grads = jax.tree_util.tree_map(jnp.zeros_like, params)
+
+    def one_update(decay_mask):
+        tx, _ = loop_lib.make_optimizer(
+            lr=1.0, weight_decay=0.1, total_steps=100,
+            decay_mask=decay_mask)
+        updates, _ = tx.update(zero_grads, tx.init(params), params)
+        return updates
+
+    tagged = one_update("tagged")
+    torch_style = one_update("torch")
+    # kernel (2D) decays in both modes
+    assert float(jnp.abs(tagged["dense"]["kernel"]).sum()) > 0
+    assert float(jnp.abs(torch_style["dense"]["kernel"]).sum()) > 0
+    # bias / D (1D) and A_log: only the torch mode decays them
+    for path in (("dense", "bias"), ("mamba", "D"), ("mamba", "A_log")):
+        t = tagged[path[0]][path[1]]
+        r = torch_style[path[0]][path[1]]
+        assert float(jnp.abs(t).sum()) == 0.0, path
+        assert float(jnp.abs(r).sum()) > 0, path
+    with pytest.raises(ValueError):
+        loop_lib.make_optimizer(1.0, 0.1, 10, decay_mask="bogus")
+
+
 @pytest.fixture(scope="module")
 def env(tmp_path_factory):
     tmp = tmp_path_factory.mktemp("e2e")

@@ -51,6 +51,12 @@ def build_train_parser(description="vivim_tpu training"):
     _add(p, "augment_intensity", type=str, default="medium",
          choices=["none", "light", "medium", "heavy"])
     _add(p, "loss", type=str, default="recall_focused")
+    _add(p, "decay_mask", type=str, default="tagged",
+         choices=["tagged", "torch"],
+         help="AdamW weight-decay mask: 'tagged' (default) skips "
+              "biases/norms/A_log/D per mamba's _no_weight_decay tags; "
+              "'torch' decays everything, matching the reference harness "
+              "(multiclass_training_folds.py:505 uses no param groups)")
     _add(p, "wandb", type=str2bool, default=False)
     _add(p, "bf16", type=str2bool, default=False,
          help="run the model in bfloat16 activations")

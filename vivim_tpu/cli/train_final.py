@@ -40,13 +40,19 @@ def main(argv=None):
         lr=args.initlr, weight_decay=args.weight_decay,
         num_classes=args.num_classes, loss=args.loss,
         monitor="train/loss", monitor_mode="min", top_k=3, seed=args.seed,
-        bf16=args.bf16, profile_dir=args.profile_dir)
+        bf16=args.bf16, decay_mask=args.decay_mask,
+        profile_dir=args.profile_dir)
     mesh = None
     if args.n_devices and args.n_devices > 1:
         from vivim_tpu.parallel.mesh import make_mesh
         mesh = make_mesh(args.n_devices)
+    edge_loss_fn = None
+    if args.with_edge:
+        from vivim_tpu.train.edge_loss import make_multiclass_edge_criterion
+        edge_loss_fn = make_multiclass_edge_criterion()
     trainer = Trainer(model, tcfg, train_dl, val_dl,
-                      os.path.join(run_dir, "ckpt"), logger, mesh=mesh)
+                      os.path.join(run_dir, "ckpt"), logger, mesh=mesh,
+                      with_edge=args.with_edge, edge_loss_fn=edge_loss_fn)
     trainer.state = maybe_load_pretrained(args, model, trainer.state)
     best = trainer.fit(resume_path=args.resume_path)
     logger.finish()

@@ -43,7 +43,7 @@ def run_fold(args, fold: int):
         weight_decay=args.weight_decay, num_classes=args.num_classes,
         loss=args.loss, monitor="val/dice", monitor_mode="max", top_k=1,
         seed=args.seed + fold, bf16=args.bf16,
-        profile_dir=args.profile_dir)
+        decay_mask=args.decay_mask, profile_dir=args.profile_dir)
     mesh = None
     if args.n_devices and args.n_devices > 1:
         from vivim_tpu.parallel.mesh import make_mesh
@@ -51,7 +51,7 @@ def run_fold(args, fold: int):
     trainer = Trainer(model, tcfg, train_dl, val_dl,
                       os.path.join(run_dir, "ckpt"), logger, mesh=mesh,
                       with_edge=args.with_edge,
-                      edge_loss_fn=_edge_loss if args.with_edge else None)
+                      edge_loss_fn=_edge_loss() if args.with_edge else None)
     trainer.state = maybe_load_pretrained(args, model, trainer.state)
     best = trainer.fit(resume_path=args.resume_path)
     logger.finish()
@@ -66,13 +66,12 @@ def _entries(records):
             for r in records]
 
 
-def _edge_loss(edge_logits, edge_targets):
-    """Edge-branch auxiliary loss (JointEdgeSegLoss edge-BCE component)."""
-    from vivim_tpu.train.edge_loss import edge_bce
+def _edge_loss():
+    """Center-frame JointEdgeSegLoss edge terms (the reference's intended
+    multiclass `-with_edge` semantics; see make_multiclass_edge_criterion)."""
+    from vivim_tpu.train.edge_loss import make_multiclass_edge_criterion
 
-    B, T, H, W, _ = edge_logits.shape
-    return 0.3 * edge_bce(edge_logits.reshape(B * T, H, W, 1),
-                          edge_targets.reshape(B * T, H, W, 1))
+    return make_multiclass_edge_criterion()
 
 
 def main(argv=None):

@@ -57,21 +57,33 @@ def _no_decay_mask(params):
 
 
 def make_optimizer(lr: float, weight_decay: float, total_steps: int,
-                   eta_min_ratio: float = 0.01, clip_norm: float = 1.0):
+                   eta_min_ratio: float = 0.01, clip_norm: float = 1.0,
+                   decay_mask: str = "tagged"):
+    """``decay_mask``: "tagged" (default) masks biases/norms/A_log/D out of
+    AdamW's decay, honoring mamba's ``_no_weight_decay`` tags; "torch"
+    decays ALL trainable params — the reference's actual behavior
+    (multiclass_training_folds.py:505 builds AdamW with no param groups, so
+    the tags are dead code there).  "tagged" is the better-practice default;
+    use "torch" for exact training-semantics parity."""
+    if decay_mask not in ("tagged", "torch"):
+        raise ValueError(f"decay_mask must be 'tagged' or 'torch', "
+                         f"got {decay_mask!r}")
+    mask = _no_decay_mask if decay_mask == "tagged" else None
     schedule = optax.cosine_decay_schedule(
         init_value=lr, decay_steps=max(total_steps, 1), alpha=eta_min_ratio)
     return optax.chain(
         optax.clip_by_global_norm(clip_norm),
         optax.adamw(schedule, b1=0.9, b2=0.999, weight_decay=weight_decay,
-                    mask=_no_decay_mask),
+                    mask=mask),
     ), schedule
 
 
 def create_train_state(model, sample_batch, rng, lr, weight_decay,
-                       total_steps, mesh=None):
+                       total_steps, mesh=None, decay_mask="tagged"):
     init_rng, state_rng = jax.random.split(rng)
     variables = jax.jit(model.init)(init_rng, sample_batch)
-    tx, _ = make_optimizer(lr, weight_decay, total_steps)
+    tx, _ = make_optimizer(lr, weight_decay, total_steps,
+                           decay_mask=decay_mask)
     params = variables["params"]
     batch_stats = variables.get("batch_stats", FrozenDict())
     state = TrainState(
@@ -123,9 +135,12 @@ def make_train_step(model, loss_fn: Callable | str = "recall_focused",
     """Returns a jitted train step: (state, batch) -> (state, metrics).
 
     ``batch``: dict with clip (B, T, H, W, 3), masks (B, T, H, W, C)
-    [, edges (B, T, H, W, 1)].  ``compute_dtype``: e.g. jnp.bfloat16 for
-    cast-params mixed precision (losses and the scan state remain fp32,
-    and the Mamba modules keep their fp32 A_log/D/dt_bias islands).
+    [, edges (B, T, H, W, 1)].  ``edge_loss_fn``: fn(seg_logits, seg_masks,
+    edge_logits, edge_masks) on the (B, T, ...) tensors — e.g.
+    ``edge_loss.make_multiclass_edge_criterion()``.  ``compute_dtype``:
+    e.g. jnp.bfloat16 for cast-params mixed precision (losses and the scan
+    state remain fp32, and the Mamba modules keep their fp32 A_log/D/
+    dt_bias islands).
     """
     if isinstance(loss_fn, str):
         loss_fn = losses_lib.LOSSES[loss_fn]
@@ -152,7 +167,8 @@ def make_train_step(model, loss_fn: Callable | str = "recall_focused",
             logits, targets = flatten_frames(logits5, batch["masks"])
             loss = loss_fn(logits, targets, num_classes)
             if with_edge:
-                loss = loss + edge_loss_fn(edge5, batch.get("edges"))
+                loss = loss + edge_loss_fn(
+                    logits5, batch["masks"], edge5, batch["edges"])
             return loss, (logits, targets, updates)
 
         (loss, (logits, targets, updates)), grads = jax.value_and_grad(
@@ -182,8 +198,12 @@ def make_train_step(model, loss_fn: Callable | str = "recall_focused",
 
 def make_eval_step(model, loss_fn: Callable | str = "recall_focused",
                    num_classes: int = 3, with_edge: bool = False,
-                   compute_dtype=None):
-    """Jitted eval step -> (loss, logits (B*T, H, W, C), targets)."""
+                   compute_dtype=None, edge_loss_fn=None):
+    """Jitted eval step -> (loss, logits (B*T, H, W, C), targets).
+
+    When ``edge_loss_fn`` is given the edge term is included in the val
+    loss, mirroring the reference validation criterion
+    (multiclass_training_folds.py:749-762)."""
     if isinstance(loss_fn, str):
         loss_fn = losses_lib.LOSSES[loss_fn]
 
@@ -199,6 +219,9 @@ def make_eval_step(model, loss_fn: Callable | str = "recall_focused",
         logits5 = out[0] if with_edge else out
         logits, targets = flatten_frames(logits5, batch["masks"])
         loss = loss_fn(logits, targets, num_classes)
+        if with_edge and edge_loss_fn is not None and "edges" in batch:
+            loss = loss + edge_loss_fn(
+                logits5, batch["masks"], out[1], batch["edges"])
         return loss, logits, targets
 
     return step

@@ -41,6 +41,7 @@ class TrainerConfig:
     log_every: int = 10
     seed: int = 42
     bf16: bool = False  # cast-params mixed precision (fp32 scan state kept)
+    decay_mask: str = "tagged"  # "torch" = decay all params (ref parity)
     profile_dir: str | None = None  # jax.profiler trace of early train steps
     profile_steps: int = 5
 
@@ -76,9 +77,11 @@ class Trainer:
         sample_clip = jnp.zeros(sample["clip"].shape, jnp.float32)
         self.state, self.tx = loop_lib.create_train_state(
             model, sample_clip, jax.random.PRNGKey(cfg.seed), cfg.lr,
-            cfg.weight_decay, self.total_steps, mesh=mesh)
+            cfg.weight_decay, self.total_steps, mesh=mesh,
+            decay_mask=cfg.decay_mask)
         _, self.lr_schedule = loop_lib.make_optimizer(
-            cfg.lr, cfg.weight_decay, self.total_steps)
+            cfg.lr, cfg.weight_decay, self.total_steps,
+            decay_mask=cfg.decay_mask)
         compute_dtype = jnp.bfloat16 if cfg.bf16 else None
         self.train_step = loop_lib.make_train_step(
             model, cfg.loss, cfg.num_classes, self.tx,
@@ -86,7 +89,8 @@ class Trainer:
             compute_dtype=compute_dtype)
         self.eval_step = loop_lib.make_eval_step(
             model, cfg.loss, cfg.num_classes, with_edge=with_edge,
-            compute_dtype=compute_dtype)
+            compute_dtype=compute_dtype,
+            edge_loss_fn=edge_loss_fn if with_edge else None)
         self.epoch = 0
 
     def resume(self, path: str | None = None):
