@@ -76,6 +76,65 @@ def test_lm_forward_and_generate():
     assert s1.shape == s2.shape == (1, 9)
 
 
+class _ToyTokenizer:
+    """Char-level tokenizer: 'a'..'z' -> 1..26; eos = 0."""
+
+    eos_token_id = 0
+
+    def encode(self, s):
+        return [max(1, min(26, ord(c) - 96)) for c in s if c.isalpha()]
+
+    def decode(self, ids):
+        return "".join(chr(96 + i) for i in ids if 1 <= i <= 26)
+
+
+@pytest.fixture(scope="module")
+def eval_core():
+    from vivim_tpu.cli.lm_eval_harness import MambaEvalCore
+
+    cfg = MambaLMConfig(vocab_size=32, d_model=16, n_layer=2)
+    model = MambaLM(cfg, scan_implementation="ref")
+    tokens = jnp.ones((1, 4), jnp.int32)
+    params = model.init(jax.random.PRNGKey(0), tokens)
+    return MambaEvalCore(model, params, _ToyTokenizer(), max_gen_toks=4), \
+        model, params
+
+
+def test_eval_core_loglikelihood(eval_core):
+    """ll == sum of continuation log-probs from the full forward."""
+    core, model, params = eval_core
+    ll, greedy = core.loglikelihood_pair("abc", "de")
+    ids = [1, 2, 3, 4, 5]
+    logits = model.apply(params, jnp.asarray([ids], jnp.int32))[0]
+    logp = jax.nn.log_softmax(logits.astype(jnp.float32), -1)
+    want = float(logp[2, 4] + logp[3, 5])
+    assert ll == pytest.approx(want, rel=1e-5)
+    assert isinstance(greedy, bool)
+
+
+def test_eval_core_rolling(eval_core):
+    """Rolling == loglikelihood of the text with EOT as sole context."""
+    core, model, params = eval_core
+    ll = core.loglikelihood_rolling_str("abcd")
+    want, _ = core._score([0], [1, 2, 3, 4])
+    assert ll == pytest.approx(want, rel=1e-5)
+
+
+def test_eval_core_generate_until(eval_core):
+    """Greedy generation matches generate(); stop strings truncate."""
+    core, model, params = eval_core
+    text = core.generate_until_str("ab", until=())
+    out = generate(model, params, jnp.asarray([[1, 2]], jnp.int32),
+                   max_new_tokens=4, temperature=0.0, eos_token_id=0)
+    ids = [int(t) for t in out[0, 2:]]
+    if 0 in ids:
+        ids = ids[:ids.index(0)]
+    assert text == _ToyTokenizer().decode(ids)
+    if len(text) > 1:
+        stopped = core.generate_until_str("ab", until=(text[1],))
+        assert stopped == text[:text.index(text[1])]
+
+
 def test_generate_greedy_matches_full_forward_replay():
     """Greedy streaming decode == repeatedly running the full forward."""
     cfg = MambaLMConfig(vocab_size=32, d_model=16, n_layer=2)

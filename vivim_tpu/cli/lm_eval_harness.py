@@ -1,68 +1,190 @@
 """lm-eval-harness adapter for MambaLM.
 
 Equivalent of /root/reference/mamba/evals/lm_harness_eval.py:14-30 — wraps
-the LM for EleutherAI's lm-evaluation-harness.  The harness is not part of
-this image, so the adapter is import-gated; with ``lm_eval`` installed:
+the LM for EleutherAI's lm-evaluation-harness.  The request-type logic
+(``loglikelihood``, ``loglikelihood_rolling``, ``generate_until``) lives in
+``MambaEvalCore``, which has no lm_eval dependency and is unit-tested
+directly; ``build_wrapper`` grafts it onto ``lm_eval.api.model.LM`` when
+the harness is installed (it is not part of this image).
 
-  python -m vivim_tpu.cli.lm_eval_harness --tasks lambada_openai ...
+  python -m vivim_tpu.cli.lm_eval_harness --tasks lambada_openai \\
+      --ckpt mamba.pt --tokenizer EleutherAI/gpt-neox-20b
 """
 
 from __future__ import annotations
 
 import argparse
+import json
 
 
-def build_wrapper(model, params, tokenizer):
+class MambaEvalCore:
+    """lm_eval request semantics, implemented against a jitted forward +
+    the jitted scan decode in ``nn.lm.generate``.
+
+    ``tokenizer`` needs ``encode(str) -> list[int]`` and
+    ``decode(list[int]) -> str`` (HF tokenizers qualify).
+    """
+
+    def __init__(self, model, params, tokenizer, max_gen_toks=128,
+                 eot_token_id=None):
+        import jax
+
+        self.model = model
+        self.params = params
+        self.tokenizer = tokenizer
+        self.max_gen_toks = max_gen_toks
+        self.eot_token_id = (
+            eot_token_id if eot_token_id is not None
+            else getattr(tokenizer, "eos_token_id", None) or 0)
+        self._fwd = jax.jit(lambda toks: model.apply(params, toks))
+
+    def _score(self, ctx_ids, cont_ids):
+        """Sum of log p(cont | ctx) and whether cont is the greedy argmax."""
+        import jax
+        import jax.numpy as jnp
+
+        toks = jnp.asarray([list(ctx_ids) + list(cont_ids)], jnp.int32)
+        logits = self._fwd(toks)[0]
+        logp = jax.nn.log_softmax(logits.astype(jnp.float32), -1)
+        start = len(ctx_ids) - 1
+        positions = logp[start:start + len(cont_ids)]
+        cont = jnp.asarray(cont_ids)
+        ll = float(jnp.take_along_axis(
+            positions, cont[:, None], axis=-1).sum())
+        greedy = bool((jnp.argmax(positions, -1) == cont).all())
+        return ll, greedy
+
+    def loglikelihood_pair(self, ctx: str, cont: str):
+        ctx_ids = self.tokenizer.encode(ctx) if ctx else [self.eot_token_id]
+        cont_ids = self.tokenizer.encode(cont)
+        return self._score(ctx_ids, cont_ids)
+
+    def loglikelihood_rolling_str(self, text: str):
+        """Full-text likelihood: every token predicted from its prefix,
+        with the EOT token as context for the first (lm_eval rolling
+        convention)."""
+        ids = self.tokenizer.encode(text)
+        ll, _ = self._score([self.eot_token_id], ids)
+        return ll
+
+    def generate_until_str(self, ctx: str, until=(), max_gen_toks=None):
+        """Greedy continuation, truncated at the first stop string."""
+        import jax
+        import jax.numpy as jnp
+
+        from vivim_tpu.nn import lm as lm_lib
+
+        ctx_ids = self.tokenizer.encode(ctx) if ctx else [self.eot_token_id]
+        toks = jnp.asarray([ctx_ids], jnp.int32)
+        n_new = max_gen_toks or self.max_gen_toks
+        out = lm_lib.generate(
+            self.model, self.params, toks, n_new,
+            rng=jax.random.PRNGKey(0), temperature=0.0,
+            eos_token_id=self.eot_token_id)
+        new_ids = [int(t) for t in out[0, len(ctx_ids):]]
+        if self.eot_token_id in new_ids:
+            new_ids = new_ids[:new_ids.index(self.eot_token_id)]
+        text = self.tokenizer.decode(new_ids)
+        for stop in until or ():
+            if stop and stop in text:
+                text = text[:text.index(stop)]
+        return text
+
+
+def build_wrapper(model, params, tokenizer, **core_kw):
+    """MambaEvalCore grafted onto lm_eval's LM interface (requires
+    lm-evaluation-harness; mirrors evals/lm_harness_eval.py:14-30)."""
     try:
-        import lm_eval
         from lm_eval.api.model import LM
     except ImportError as e:  # pragma: no cover
         raise ImportError(
             "lm_eval is not installed in this environment; install "
             "lm-evaluation-harness to run LM evals") from e
 
-    import jax
-    import jax.numpy as jnp
+    core = MambaEvalCore(model, params, tokenizer, **core_kw)
 
-    class MambaEvalWrapper(LM):
-        def __init__(self):
-            super().__init__()
-            self._fwd = jax.jit(lambda toks: model.apply(params, toks))
-
+    class MambaEvalWrapper(LM):  # pragma: no cover - needs lm_eval
         def loglikelihood(self, requests):
+            return [core.loglikelihood_pair(*req.args) for req in requests]
+
+        def loglikelihood_rolling(self, requests):
+            return [core.loglikelihood_rolling_str(req.args[0])
+                    for req in requests]
+
+        def generate_until(self, requests):
             out = []
             for req in requests:
-                ctx, cont = req.args
-                ctx_ids = tokenizer.encode(ctx)
-                cont_ids = tokenizer.encode(cont)
-                toks = jnp.asarray([ctx_ids + cont_ids], jnp.int32)
-                logits = self._fwd(toks)[0]
-                logp = jax.nn.log_softmax(logits.astype(jnp.float32), -1)
-                start = len(ctx_ids) - 1
-                ll = 0.0
-                greedy = True
-                for i, tok in enumerate(cont_ids):
-                    ll += float(logp[start + i, tok])
-                    greedy &= int(jnp.argmax(logp[start + i])) == tok
-                out.append((ll, greedy))
+                ctx, gen_kwargs = req.args
+                out.append(core.generate_until_str(
+                    ctx, until=gen_kwargs.get("until", ()),
+                    max_gen_toks=gen_kwargs.get("max_gen_toks")))
             return out
-
-        def loglikelihood_rolling(self, requests):  # pragma: no cover
-            raise NotImplementedError
-
-        def generate_until(self, requests):  # pragma: no cover
-            raise NotImplementedError
 
     return MambaEvalWrapper()
 
 
-def main(argv=None):  # pragma: no cover - requires lm_eval + a checkpoint
+def load_lm(ckpt, vocab_size, d_model, n_layer):
+    """Build a MambaLM and load params from a torch state-dict file (via
+    mamba_lm_params_from_torch) or random-init when ckpt is None."""
+    import jax
+    import jax.numpy as jnp
+
+    from vivim_tpu.nn.lm import MambaLM, MambaLMConfig
+
+    cfg = MambaLMConfig(vocab_size=vocab_size, d_model=d_model,
+                        n_layer=n_layer)
+    model = MambaLM(cfg)
+    if ckpt:
+        import torch
+
+        from vivim_tpu.convert.torch_to_jax import mamba_lm_params_from_torch
+
+        sd = torch.load(ckpt, map_location="cpu", weights_only=True)
+        if "state_dict" in sd:
+            sd = sd["state_dict"]
+        params = {"params": mamba_lm_params_from_torch(sd, n_layer)}
+    else:
+        toks = jnp.ones((1, 8), jnp.int32)
+        params = jax.jit(model.init)(jax.random.PRNGKey(0), toks)
+    return model, params
+
+
+def main(argv=None):
     p = argparse.ArgumentParser(description=__doc__)
-    p.add_argument("--tasks", type=str, required=True)
-    p.add_argument("--ckpt", type=str, required=True)
-    p.parse_args(argv)
-    raise SystemExit("install lm-evaluation-harness and a tokenizer, then "
-                     "use build_wrapper() programmatically")
+    p.add_argument("--tasks", type=str, required=True,
+                   help="comma-separated lm_eval task names")
+    p.add_argument("--ckpt", type=str, default=None,
+                   help="torch state-dict checkpoint (HF mamba layout)")
+    p.add_argument("--tokenizer", type=str,
+                   default="EleutherAI/gpt-neox-20b")
+    p.add_argument("--vocab", type=int, default=50277)
+    p.add_argument("--d_model", type=int, default=768)
+    p.add_argument("--n_layer", type=int, default=24)
+    p.add_argument("--max_gen_toks", type=int, default=128)
+    p.add_argument("--limit", type=int, default=None,
+                   help="cap examples per task (smoke runs)")
+    args = p.parse_args(argv)
+
+    try:
+        import lm_eval
+    except ImportError:
+        raise SystemExit(
+            "lm_eval is not installed in this environment. Install "
+            "lm-evaluation-harness to run evals; the adapter logic "
+            "(MambaEvalCore) works without it and is unit-tested.")
+
+    from transformers import AutoTokenizer
+
+    tokenizer = AutoTokenizer.from_pretrained(args.tokenizer)
+    model, params = load_lm(args.ckpt, args.vocab, args.d_model,
+                            args.n_layer)
+    wrapper = build_wrapper(model, params, tokenizer,
+                            max_gen_toks=args.max_gen_toks)
+    results = lm_eval.simple_evaluate(
+        model=wrapper, tasks=args.tasks.split(","), limit=args.limit)
+    print(json.dumps(results.get("results", results), indent=2,
+                     default=str))
+    return results
 
 
 if __name__ == "__main__":
