@@ -71,3 +71,35 @@ def test_inverse_net_and_converter():
     e = jnp.zeros((1, 64, 128, 1))
     val = float(inv(e, e))
     assert np.isfinite(val)
+
+
+def test_multiclass_edge_criterion_center_frame():
+    """The criterion depends ONLY on the center frame and composes
+    0.3*edge_bce + 0.1*edge_attention (no InverseForm weights)."""
+    rng = np.random.default_rng(5)
+    B, T, H, W, C = 2, 5, 16, 16, 3
+    seg = jnp.asarray(rng.standard_normal((B, T, H, W, C)), jnp.float32)
+    masks = jax.nn.one_hot(
+        jnp.asarray(rng.integers(0, C, (B, T, H, W))), C)
+    edge_l = jnp.asarray(rng.standard_normal((B, T, H, W, 1)), jnp.float32)
+    edge_m = jnp.asarray(rng.random((B, T, H, W, 1)) > 0.7, jnp.float32)
+    crit = E.make_multiclass_edge_criterion()
+    v = float(crit(seg, masks, edge_l, edge_m))
+    assert np.isfinite(v) and v > 0
+
+    # composition check against the parts on the center frame
+    want = 0.3 * float(E.edge_bce(edge_l[:, T // 2], edge_m[:, T // 2]))
+    want += 0.1 * float(E.edge_attention(
+        seg[:, T // 2], masks[:, T // 2], edge_l[:, T // 2],
+        seg_loss=E._structure_on_onehot))
+    assert v == pytest.approx(want, rel=1e-6)
+
+    # perturbing a NON-center frame must not change the loss
+    seg2 = seg.at[:, 0].add(10.0)
+    edge2 = edge_l.at[:, -1].add(10.0)
+    assert float(crit(seg2, masks, edge2, edge_m)) == pytest.approx(v,
+                                                                    rel=1e-6)
+    # gradients flow to both branches
+    g = jax.grad(lambda e: crit(seg, masks, e, edge_m))(edge_l)
+    assert float(jnp.abs(g[:, T // 2]).sum()) > 0
+    assert float(jnp.abs(g[:, 0]).sum()) == 0.0

@@ -28,7 +28,7 @@ import jax.numpy as jnp
 import numpy as np
 from flax import linen as nn
 
-from vivim_tpu.train.losses import structure_loss
+from vivim_tpu.train.losses import _weighted_structure, structure_loss
 
 _EPS = 1e-8
 
@@ -122,6 +122,54 @@ def make_inverse_form(params, tile_factor=3, resized_dim=672):
         return jnp.mean(jnp.sqrt(jnp.sum(coeffs * coeffs, axis=1)))
 
     return inverse_form
+
+
+def _structure_on_onehot(logits, onehot_masks, eps=1e-8):
+    """Per-class weighted structure loss on already-one-hot (possibly
+    edge-gated) float masks — multiclass_structure_loss without the int
+    one-hot step."""
+    C = logits.shape[-1]
+    return sum(
+        _weighted_structure(logits[..., c:c + 1], onehot_masks[..., c:c + 1],
+                            eps)
+        for c in range(C)) / C
+
+
+def make_multiclass_edge_criterion(inverse_params=None, edge_weight=0.3,
+                                   att_weight=0.1, inv_weight=0.3):
+    """Center-frame edge terms for the multiclass ``-with_edge`` CLIs.
+
+    The reference's multiclass edge path is broken upstream: its
+    training_step ignores the edge output entirely
+    (multiclass_training_folds.py:543-573 never unpacks the tuple), while
+    its validation criterion defines the intended semantics —
+    JointEdgeSegLoss applied to CENTER frames
+    (multiclass_training_folds.py:749-762, ``pred[nFrames//2::nFrames]``).
+    This implements that intent: the main seg loss (recall_focused over all
+    frames — the production training loss) stays as-is, and the edge branch
+    adds the joint loss's edge terms on the center frame:
+    ``0.3*edge_bce + 0.1*edge_attention + 0.3*inverse_form`` (the joint
+    loss's 1.0*seg term is NOT repeated — it would double-count the main
+    loss).
+
+    Returns fn(seg_logits (B,T,H,W,C), seg_masks one-hot, edge_logits
+    (B,T,H,W,1), edge_masks) -> scalar.
+    """
+    inverse_form = (make_inverse_form(inverse_params)
+                    if inverse_params is not None else None)
+
+    def criterion(seg_logits, seg_masks, edge_logits, edge_masks):
+        T = seg_logits.shape[1]
+        seg_l, seg_m = seg_logits[:, T // 2], seg_masks[:, T // 2]
+        edge_l, edge_m = edge_logits[:, T // 2], edge_masks[:, T // 2]
+        total = edge_weight * edge_bce(edge_l, edge_m)
+        total = total + att_weight * edge_attention(
+            seg_l, seg_m, edge_l, seg_loss=_structure_on_onehot)
+        if inverse_form is not None:
+            total = total + inv_weight * inverse_form(edge_l, edge_m)
+        return total
+
+    return criterion
 
 
 def make_joint_edge_seg_loss(inverse_params=None, seg_weight=1.0,
