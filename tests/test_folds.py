@@ -61,8 +61,26 @@ def test_make_folds_group_integrity(raw):
     assert os.path.exists(os.path.join(out, "split_metadata.csv"))
     assert os.path.exists(os.path.join(out, "fold_statistics.csv"))
     assert os.path.exists(os.path.join(out, "fold_balance.png"))
+    # full create_visualizations figure set (multiclass_StratKFold.py:55-212)
+    for fig in ("frames_per_case_distribution.png",
+                "mask_type_distribution.png", "mask_combinations.png",
+                "fold_balance_analysis.png", "fold_statistics_table.png"):
+        assert os.path.exists(os.path.join(out, fig)), fig
     assert len(balance_df) == 3
     assert (balance_df["imbalance_score"] >= 0).all()
     # copied dirs are loadable by the gatherer again
     df2 = F.gather_annotated_frames(os.path.join(out, "fold_0", "train"))
     assert len(df2) > 0
+
+
+def test_create_visualizations_histological(raw):
+    tmp, root = raw
+    out = str(tmp / "viz")
+    df = F.gather_annotated_frames(root)
+    hist = pd.DataFrame({"clinical_case": ["case_0", "case_1"],
+                         "histological": ["serous", "mucinous"]})
+    F.create_visualizations(df, out, hist_df=hist)
+    for fig in ("histological_distribution.png",
+                "frames_by_histological_type.png",
+                "mask_by_histological.png"):
+        assert os.path.exists(os.path.join(out, fig)), fig

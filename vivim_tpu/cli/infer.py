@@ -207,11 +207,12 @@ def _save_vis(args, batch, preds, start_idx):
     return saved
 
 
-def plot_confusion_matrices(cm, output_dir):
-    import matplotlib
-
-    matplotlib.use("Agg")
+def plot_confusion_matrices(cm, output_dir, wandb_run=None):
+    """Raw / row-norm / col-norm heatmaps -> PNGs (+ wandb Images when a
+    run is active, inference.py:453-533)."""
     import matplotlib.pyplot as plt
+
+    from vivim_tpu.train.logging import confusion_heatmap
 
     cm = cm.astype(np.float64)
     variants = {
@@ -220,21 +221,12 @@ def plot_confusion_matrices(cm, output_dir):
         "confusion_matrix_col_norm": cm / np.maximum(cm.sum(0, keepdims=True), 1),
     }
     for name, mat in variants.items():
-        fig, ax = plt.subplots(figsize=(5, 4))
-        im = ax.imshow(mat, cmap="Blues")
-        for i in range(mat.shape[0]):
-            for j in range(mat.shape[1]):
-                ax.text(j, i, f"{mat[i, j]:.2f}" if mat.max() <= 1
-                        else f"{int(mat[i, j])}", ha="center", va="center",
-                        fontsize=8)
-        ax.set_xticks(range(len(CLASS_NAMES)))
-        ax.set_xticklabels(CLASS_NAMES[: mat.shape[0]], rotation=30)
-        ax.set_yticks(range(len(CLASS_NAMES)))
-        ax.set_yticklabels(CLASS_NAMES[: mat.shape[0]])
-        ax.set_xlabel("prediction"); ax.set_ylabel("ground truth")
-        fig.colorbar(im)
-        fig.tight_layout()
+        fig = confusion_heatmap(mat, CLASS_NAMES)
         fig.savefig(os.path.join(output_dir, f"{name}.png"))
+        if wandb_run is not None:
+            import wandb
+
+            wandb_run.log({name: wandb.Image(fig)})
         plt.close(fig)
 
 
@@ -254,7 +246,7 @@ def main(argv=None):
     results, cm, perf = run_inference(args, model, variables, loader)
 
     os.makedirs(args.output_dir, exist_ok=True)
-    plot_confusion_matrices(cm, args.output_dir)
+    plot_confusion_matrices(cm, args.output_dir, wandb_run=wandb_run)
     summary = {
         "performance": perf,
         "metrics": results,
@@ -267,6 +259,16 @@ def main(argv=None):
         for m in ("dice", "jaccard", "precision", "recall"):
             flat[f"{m}_mean"] = results[m]["mean"]
         wandb_run.log(flat)
+        # sample-prediction panels as wandb images (inference.py:534-584)
+        if args.save_vis:
+            import wandb
+
+            vis_files = sorted(
+                f for f in os.listdir(args.output_dir)
+                if f.startswith("vis_") and f.endswith(".png"))
+            for f in vis_files[:args.vis_count]:
+                wandb_run.log({f"predictions/{f[:-4]}": wandb.Image(
+                    os.path.join(args.output_dir, f))})
         wandb_run.finish()
     print(json.dumps(perf, indent=2))
     for m in ("dice", "jaccard", "precision", "recall"):

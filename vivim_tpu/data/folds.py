@@ -216,14 +216,15 @@ def make_stratified_group_folds(
     if plots:
         try:
             _balance_plots(balance_df, df, output_root)
+            create_visualizations(df, output_root, hist_df)
+            _fold_figures(balance_df, df, output_root)
         except Exception as e:  # plotting is best-effort
             print(f"[folds] plot generation skipped: {e}")
     return fold_index, balance_df, best_seed
 
 
 def _balance_plots(balance_df, df, output_root: Path):
-    """Fold-balance and dataset-analysis figures
-    (create_visualizations, multiclass_StratKFold.py:55-212 + :484-566)."""
+    """Compact summary figures (this package's own addition)."""
     import matplotlib
 
     matplotlib.use("Agg")
@@ -253,4 +254,191 @@ def _balance_plots(balance_df, df, output_root: Path):
     ax.set_title("frames per case")
     fig.tight_layout()
     fig.savefig(output_root / "dataset_analysis.png")
+    plt.close(fig)
+
+
+def _pct_labels(ax, values, total):
+    for i, v in enumerate(values):
+        ax.text(i, v, f"{v / max(total, 1) * 100:.1f}%", ha="center",
+                va="bottom")
+
+
+def create_visualizations(df, output_dir, hist_df=None):
+    """Dataset-analysis figure set (create_visualizations,
+    multiclass_StratKFold.py:55-212) — same file names, matplotlib-only
+    (no seaborn dependency).
+
+    Figures: frames_per_case_distribution, mask_type_distribution,
+    mask_combinations [+ histological_distribution,
+    frames_by_histological_type, mask_by_histological when hist_df given].
+    """
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    output_dir = Path(output_dir)
+    output_dir.mkdir(parents=True, exist_ok=True)
+    total = len(df)
+
+    # 1. frames per clinical case (hist + mean/median lines, :65-80)
+    frame_counts = df.groupby("clinical_case").size()
+    fig, ax = plt.subplots(figsize=(12, 8))
+    ax.hist(frame_counts, bins=min(20, max(3, frame_counts.nunique())))
+    ax.axvline(frame_counts.mean(), color="r", linestyle="--",
+               label=f"Mean: {frame_counts.mean():.2f}")
+    ax.axvline(frame_counts.median(), color="g", linestyle="-",
+               label=f"Median: {frame_counts.median():.2f}")
+    ax.set_title("Distribution of Frames per Clinical Case")
+    ax.set_xlabel("Number of Frames")
+    ax.set_ylabel("Count of Clinical Cases")
+    ax.legend()
+    fig.tight_layout()
+    fig.savefig(output_dir / "frames_per_case_distribution.png")
+    plt.close(fig)
+
+    # 2. mask-type distribution with percentage labels (:81-103)
+    mask_counts = {
+        "Background": int(df["has_background"].sum()),
+        "Solid": int(df["has_solid"].sum()),
+        "Non-solid": int(df["has_nonsolid"].sum()),
+        "Fan": int(df["has_fan"].sum()) if "has_fan" in df.columns else 0,
+    }
+    fig, ax = plt.subplots(figsize=(10, 6))
+    ax.bar(list(mask_counts), list(mask_counts.values()))
+    _pct_labels(ax, list(mask_counts.values()), total)
+    ax.set_title("Distribution of Mask Types")
+    ax.set_ylabel("Count")
+    ax.set_xlabel("Mask Type")
+    fig.tight_layout()
+    fig.savefig(output_dir / "mask_type_distribution.png")
+    plt.close(fig)
+
+    # 3. mask combinations sorted by count (:105-133)
+    combos = df.groupby(
+        ["has_background", "has_solid", "has_nonsolid"]).size().reset_index(
+        name="count")
+    combos["label"] = combos.apply(
+        lambda x: f"BG: {'Y' if x['has_background'] else 'N'}, "
+                  f"Solid: {'Y' if x['has_solid'] else 'N'}, "
+                  f"Non-solid: {'Y' if x['has_nonsolid'] else 'N'}", axis=1)
+    combos = combos.sort_values("count", ascending=False)
+    fig, ax = plt.subplots(figsize=(14, 8))
+    ax.bar(combos["label"], combos["count"])
+    _pct_labels(ax, combos["count"].tolist(), total)
+    ax.set_title("Combinations of Mask Types")
+    ax.set_ylabel("Count")
+    ax.set_xlabel("Mask Combination")
+    plt.setp(ax.get_xticklabels(), rotation=45, ha="right")
+    fig.tight_layout()
+    fig.savefig(output_dir / "mask_combinations.png")
+    plt.close(fig)
+
+    # 4-6. histological figures (:137-205)
+    if hist_df is not None and "histological" in hist_df.columns:
+        case_hist = df[["clinical_case"]].drop_duplicates().merge(
+            hist_df[["clinical_case", "histological"]], on="clinical_case",
+            how="left")
+        case_hist["histological"] = case_hist["histological"].fillna(
+            "unknown")
+
+        hist_counts = case_hist["histological"].value_counts()
+        fig, ax = plt.subplots(figsize=(12, 8))
+        ax.bar(hist_counts.index.astype(str), hist_counts.values)
+        _pct_labels(ax, hist_counts.values.tolist(), len(case_hist))
+        ax.set_title("Distribution of Histological Types")
+        ax.set_ylabel("Count of Clinical Cases")
+        ax.set_xlabel("Histological Type")
+        plt.setp(ax.get_xticklabels(), rotation=45, ha="right")
+        fig.tight_layout()
+        fig.savefig(output_dir / "histological_distribution.png")
+        plt.close(fig)
+
+        frames_by_hist = df.merge(case_hist, on="clinical_case")
+        hist_frame_counts = frames_by_hist.groupby("histological").size()
+        fig, ax = plt.subplots(figsize=(14, 8))
+        ax.bar(hist_frame_counts.index.astype(str), hist_frame_counts.values)
+        ax.set_title("Number of Frames by Histological Type")
+        ax.set_ylabel("Count of Frames")
+        ax.set_xlabel("Histological Type")
+        plt.setp(ax.get_xticklabels(), rotation=45, ha="right")
+        fig.tight_layout()
+        fig.savefig(output_dir / "frames_by_histological_type.png")
+        plt.close(fig)
+
+        mask_by_hist = frames_by_hist.groupby("histological").agg(
+            Background=("has_background", "sum"),
+            Solid=("has_solid", "sum"),
+            Nonsolid=("has_nonsolid", "sum"))
+        fig, ax = plt.subplots(figsize=(16, 10))
+        idx = np.arange(len(mask_by_hist))
+        width = 0.25
+        for k, col in enumerate(("Background", "Solid", "Nonsolid")):
+            ax.bar(idx + (k - 1) * width, mask_by_hist[col], width,
+                   label=col.replace("Nonsolid", "Non-solid"))
+        ax.set_xticks(idx)
+        ax.set_xticklabels(mask_by_hist.index.astype(str), rotation=45,
+                           ha="right")
+        ax.set_title("Distribution of Mask Types by Histological Category")
+        ax.set_ylabel("Count")
+        ax.set_xlabel("Histological Type")
+        ax.legend(title="Mask Type")
+        fig.tight_layout()
+        fig.savefig(output_dir / "mask_by_histological.png")
+        plt.close(fig)
+
+    return output_dir
+
+
+def _fold_figures(balance_df, df, output_root: Path):
+    """Per-fold balance figure + statistics-table figure
+    (multiclass_StratKFold.py:484-566) — same file names."""
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    x = np.arange(len(balance_df))
+    fig, axes = plt.subplots(1, 2, figsize=(14, 8))
+    for ax, kind in zip(axes, ("solid", "nonsolid")):
+        overall = df[f"has_{kind}"].mean()
+        ax.axhline(y=overall, color="r", linestyle="--",
+                   label=f"Overall: {overall:.2f}")
+        ax.bar(x - 0.2, balance_df[f"train_{kind}_ratio"], 0.4,
+               color="blue", alpha=0.7, label="Train")
+        ax.bar(x + 0.2, balance_df[f"val_{kind}_ratio"], 0.4,
+               color="green", alpha=0.7, label="Validation")
+        title = "Solid" if kind == "solid" else "Non-solid"
+        ax.set_title(f"{title} Mask Ratio by Fold")
+        ax.set_xlabel("Fold")
+        ax.set_ylabel(f"{title} Mask Ratio")
+        ax.set_xticks(x)
+        ax.legend()
+    fig.tight_layout()
+    fig.savefig(output_root / "fold_balance_analysis.png")
+    plt.close(fig)
+
+    n_splits = len(balance_df)
+    fig = plt.figure(figsize=(12, n_splits * 0.8 + 2))
+    plt.axis("off")
+    col_labels = ["Fold", "Train Frames", "Val Frames", "Train Solid %",
+                  "Train Non-solid %", "Val Solid %", "Val Non-solid %",
+                  "Imbalance Score"]
+    rows = [[f"{r.fold:.0f}", f"{r.train_frames:.0f}", f"{r.val_frames:.0f}",
+             f"{r.train_solid_ratio * 100:.1f}%",
+             f"{r.train_nonsolid_ratio * 100:.1f}%",
+             f"{r.val_solid_ratio * 100:.1f}%",
+             f"{r.val_nonsolid_ratio * 100:.1f}%",
+             f"{r.imbalance_score:.4f}"]
+            for r in balance_df.itertuples()]
+    table = plt.table(cellText=rows, colLabels=col_labels, loc="center",
+                      cellLoc="center",
+                      colWidths=[0.08, 0.12, 0.12, 0.13, 0.16, 0.13, 0.16,
+                                 0.15])
+    table.auto_set_font_size(False)
+    table.set_fontsize(12)
+    table.scale(1, 1.5)
+    plt.title("Fold Statistics Summary", fontsize=16, pad=20)
+    fig.tight_layout()
+    fig.savefig(output_root / "fold_statistics_table.png")
     plt.close(fig)

@@ -44,10 +44,19 @@ class MetricLogger:
                        if isinstance(v, (int, float))}
             self.wandb.log(scalars, step=max(step, 0))
 
+    def log_image(self, key: str, image, step: int):
+        """Log an image to wandb (no-op without wandb; JSONL records the
+        key so the run log shows what was produced).  ``image``: a file
+        path, a (H, W, 3) uint8 array, or a matplotlib figure."""
+        self.log({f"{key}_logged": True}, step)
+        if self.wandb is None:
+            return
+        self.wandb.log({key: self.wandb.Image(image)}, step=max(step, 0))
+
     def log_confusion_matrix(self, cm, class_names, step, prefix="val"):
-        """Raw + row- and column-normalized confusion matrices
-        (multiclass_training_folds.py:687-722 log heatmap images; here the
-        arrays land in JSONL and, when enabled, wandb tables)."""
+        """Raw + row- and column-normalized confusion matrices.  Arrays
+        always land in JSONL; with wandb enabled the rendered heatmaps are
+        logged as wandb Images (multiclass_training_folds.py:687-722)."""
         import numpy as np
 
         cm = np.asarray(cm, np.float64)
@@ -59,8 +68,47 @@ class MetricLogger:
             f"{prefix}/confusion_matrix_col_norm": col.tolist(),
             f"{prefix}/class_names": list(class_names),
         }, step)
+        if self.wandb is not None:
+            for name, mat in ((f"{prefix}/confusion_matrix_img", cm),
+                              (f"{prefix}/confusion_matrix_row_norm_img", row),
+                              (f"{prefix}/confusion_matrix_col_norm_img", col)):
+                fig = confusion_heatmap(mat, class_names)
+                self.wandb.log({name: self.wandb.Image(fig)},
+                               step=max(step, 0))
+                import matplotlib.pyplot as plt
+
+                plt.close(fig)
 
     def finish(self):
         self._fh.close()
         if self.wandb is not None:
             self.wandb.finish()
+
+
+def confusion_heatmap(mat, class_names):
+    """One confusion-matrix heatmap figure (shared by the trainer's wandb
+    logging and the inference CLI's PNG plots)."""
+    import matplotlib
+    import numpy as np
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    mat = np.asarray(mat, np.float64)
+    fig, ax = plt.subplots(figsize=(5, 4))
+    im = ax.imshow(mat, cmap="Blues")
+    for i in range(mat.shape[0]):
+        for j in range(mat.shape[1]):
+            ax.text(j, i, f"{mat[i, j]:.2f}" if mat.max() <= 1
+                    else f"{int(mat[i, j])}", ha="center", va="center",
+                    fontsize=8)
+    names = list(class_names)[: mat.shape[0]]
+    ax.set_xticks(range(len(names)))
+    ax.set_xticklabels(names, rotation=30)
+    ax.set_yticks(range(len(names)))
+    ax.set_yticklabels(names)
+    ax.set_xlabel("prediction")
+    ax.set_ylabel("ground truth")
+    fig.colorbar(im)
+    fig.tight_layout()
+    return fig
