@@ -91,7 +91,11 @@ class Mlp(nn.Module):
     hidden_dim: int | None = None
     out_dim: int | None = None
     dropout_rate: float = 0.0
-    act: Callable = nn.gelu
+    # torch nn.GELU (vivim.py:71) is the exact erf form; the tanh
+    # approximation is ~4x faster on the TPU VPU and production configs
+    # enable it (bench.py), but parity tests need the exact form.
+    gelu_approximate: bool = False
+    act: Callable | None = None
 
     @nn.compact
     def __call__(self, x, nframes: int, H: int, W: int,
@@ -100,7 +104,10 @@ class Mlp(nn.Module):
         out = self.out_dim or self.dim
         x = nn.Dense(hidden, kernel_init=trunc_normal_init, name="fc1")(x)
         x = DWConv3d(hidden, name="dwconv")(x, nframes, H, W)
-        x = self.act(x)
+        if self.act is not None:
+            x = self.act(x)
+        else:
+            x = nn.gelu(x, approximate=self.gelu_approximate)
         x = nn.Dropout(self.dropout_rate, deterministic=deterministic)(x)
         x = nn.Dense(out, kernel_init=trunc_normal_init, name="fc2")(x)
         x = nn.Dropout(self.dropout_rate, deterministic=deterministic)(x)

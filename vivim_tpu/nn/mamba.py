@@ -235,6 +235,7 @@ class MambaLayer(nn.Module):
     dropout_rate: float = 0.0
     drop_path: float = 0.0
     scan_implementation: str | None = None
+    gelu_approximate: bool = False  # exact erf by default (torch parity)
 
     @nn.compact
     def __call__(self, x, nframes: int, H: int, W: int,
@@ -254,6 +255,7 @@ class MambaLayer(nn.Module):
         x = x + drop_path(mamba(h, nframes=nframes), deterministic)
         h = nn.LayerNorm(name="norm2")(x)
         mlp = Mlp(self.dim, int(self.dim * self.mlp_ratio),
-                  dropout_rate=self.dropout_rate, name="mlp")
+                  dropout_rate=self.dropout_rate,
+                  gelu_approximate=self.gelu_approximate, name="mlp")
         x = x + drop_path(mlp(h, nframes, H, W, deterministic), deterministic)
         return x

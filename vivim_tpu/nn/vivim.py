@@ -81,6 +81,7 @@ class VivimEncoder(nn.Module):
                     dim=dim,
                     drop_path=dp_rate,
                     scan_implementation=cfg.scan_implementation,
+                    gelu_approximate=seg.gelu_approximate,
                     name=f"mamba_{i}_{j}",
                 )(t5, T, Hi, Wi, deterministic)
             h = t5.reshape(B * T, Hi, Wi, dim)
