@@ -135,3 +135,37 @@ def test_tracker_matches_direct_computation():
                   for i in range(4) if (gt[i] == 0).any()]
     assert res["dice"]["per_class"][0] == pytest.approx(np.mean(per_sample))
     assert per_sample[0] == pytest.approx(d00)
+
+
+def test_device_confusion_path_matches_host():
+    """The jittable eval-metric path (per_class_confusion +
+    confusion_matrix_device + update_from_confusion) reproduces the
+    host/label-map path exactly."""
+    import jax
+    import jax.numpy as jnp
+
+    from vivim_tpu.train.loop import confusion_matrix_device
+    from vivim_tpu.train.trainer import confusion_matrix_from_labels
+
+    rng = np.random.default_rng(1)
+    gt = rng.integers(0, 3, (5, 12, 12))
+    pred = rng.integers(0, 3, (5, 12, 12))
+
+    cm_dev = np.asarray(jax.jit(
+        lambda p, g: confusion_matrix_device(p, g, 3))(
+            jnp.asarray(pred), jnp.asarray(gt)))
+    cm_host = confusion_matrix_from_labels(pred, gt, 3)
+    np.testing.assert_array_equal(cm_dev, cm_host)
+
+    conf = np.asarray(jax.jit(
+        lambda p, g: M.per_class_confusion(p, g, 3))(
+            jnp.asarray(pred), jnp.asarray(gt)))
+    tr_dev = M.MulticlassMetricsTracker(3)
+    tr_dev.update_from_confusion(conf)
+    tr_host = M.MulticlassMetricsTracker(3)
+    tr_host.update(pred, gt)
+    assert tr_dev.class_counts == tr_host.class_counts
+    for m in M.MulticlassMetricsTracker.TRACKED:
+        got = tr_dev.get_results()[m]
+        want = tr_host.get_results()[m]
+        assert got["per_class"] == want["per_class"]

@@ -51,9 +51,13 @@ def test_multiclass_edge_train_step():
     eval_step = loop_lib.make_eval_step(
         model, "recall_focused", 3, with_edge=True,
         edge_loss_fn=make_multiclass_edge_criterion())
-    loss, logits, targets = eval_step(state, batch)
+    loss, conf, cm = eval_step(state, batch)
     assert np.isfinite(float(loss))
-    assert logits.shape == (B * T, S, S, 3)
+    assert conf.shape == (B * T, 3, 4)
+    assert cm.shape == (3, 3)
+    # device-side counters agree with a host recomputation
+    assert int(np.asarray(cm).sum()) == B * T * S * S
+    assert int(np.asarray(conf)[:, :, 0].sum()) == int(np.trace(cm))
 
 
 def test_decay_mask_modes():

@@ -132,14 +132,25 @@ def run_inference(args, model, variables, loader):
     import jax
     import jax.numpy as jnp
 
-    from vivim_tpu.train.metrics import MulticlassMetricsTracker
-    from vivim_tpu.train.trainer import confusion_matrix_from_labels
+    from vivim_tpu.train.loop import confusion_matrix_device
+    from vivim_tpu.train.metrics import (
+        MulticlassMetricsTracker,
+        per_class_confusion,
+    )
 
     @jax.jit
-    def forward(clip):
+    def forward(clip, masks):
+        """Predict + accumulate metrics ON DEVICE: only the (B*T, C, 4)
+        counters, the (C, C) matrix and int label maps transfer to host
+        (the reference ships full softmax maps, inference.py:294-334)."""
         out = model.apply(variables, clip, deterministic=True)
         logits = out[0] if isinstance(out, tuple) else out
-        return jax.nn.softmax(logits, axis=-1)
+        B, T, H, W, C = logits.shape
+        preds = jnp.argmax(logits, axis=-1).reshape(B * T, H, W)
+        targets = jnp.argmax(masks, axis=-1).reshape(B * T, H, W)
+        conf = per_class_confusion(preds, targets, args.num_classes)
+        cm = confusion_matrix_device(preds, targets, args.num_classes)
+        return preds.reshape(B, T, H, W).astype(jnp.uint8), conf, cm
 
     tracker = MulticlassMetricsTracker(args.num_classes)
     cm = np.zeros((args.num_classes,) * 2, np.int64)
@@ -150,22 +161,19 @@ def run_inference(args, model, variables, loader):
 
     for batch in loader:
         clip = jnp.asarray(batch["clip"])
+        masks = jnp.asarray(batch["masks"])
         t0 = time.time()
-        probs = forward(clip)
+        preds_d, conf_d, cm_d = forward(clip, masks)
         # device->host fetch both syncs honestly (block_until_ready does not
         # on tunneled runtimes) and is part of the per-batch latency anyway
-        probs = np.asarray(probs)
+        conf = np.asarray(conf_d)
+        cm_b = np.asarray(cm_d)
         batch_times.append(time.time() - t0)
         total_frames += clip.shape[0] * clip.shape[1]
-        preds = probs.argmax(-1)  # (B, T, H, W)
-        gts = batch["masks"].argmax(-1)  # (B, T, H, W)
-        B, T = preds.shape[:2]
-        tracker.update(probs.reshape(B * T, *probs.shape[2:]),
-                       gts.reshape(B * T, *gts.shape[2:]))
-        cm += confusion_matrix_from_labels(
-            preds.reshape(B * T, *preds.shape[2:]),
-            gts.reshape(B * T, *gts.shape[2:]), args.num_classes)
+        tracker.update_from_confusion(conf)
+        cm += cm_b.astype(np.int64)
         if args.save_vis and vis_saved < args.vis_count:
+            preds = np.asarray(preds_d).astype(int)  # (B, T, H, W)
             vis_saved += _save_vis(args, batch, preds, vis_saved)
 
     # FPS accounting (inference.py:414-436): first batch excluded as warmup

@@ -196,16 +196,39 @@ def make_train_step(model, loss_fn: Callable | str = "recall_focused",
     return step
 
 
+def confusion_matrix_device(preds, targets, num_classes: int):
+    """Aggregated (C, C) confusion matrix (rows = GT, cols = pred) as C*C
+    fused boolean reductions — jittable, no scatter."""
+    rows = []
+    for g in range(num_classes):
+        gm = targets == g
+        rows.append(jnp.stack([
+            jnp.sum(gm & (preds == p), dtype=jnp.int32)
+            for p in range(num_classes)]))
+    return jnp.stack(rows)
+
+
 def make_eval_step(model, loss_fn: Callable | str = "recall_focused",
                    num_classes: int = 3, with_edge: bool = False,
-                   compute_dtype=None, edge_loss_fn=None):
-    """Jitted eval step -> (loss, logits (B*T, H, W, C), targets).
+                   compute_dtype=None, edge_loss_fn=None,
+                   return_preds: bool = False):
+    """Jitted eval step -> (loss, confusion (B*T, C, 4) int32, cm (C, C)
+    int32[, preds (B*T, H, W) int32 when ``return_preds``]).
+
+    The metric accumulation (per-sample per-class tp/fp/tn/fn and the
+    aggregated confusion matrix) runs ON DEVICE: only O(B*T*C) counters
+    transfer to host, never the (B*T, H, W, C) logits — at 512px eval the
+    logit transfer would dominate (the reference ships full logits to the
+    CPU per batch, multiclass_training_folds.py:575-640).  ``return_preds``
+    additionally returns the int label maps (for visualization; 4 bytes/px
+    vs 4*C for logits).
 
     When ``edge_loss_fn`` is given the edge term is included in the val
     loss, mirroring the reference validation criterion
     (multiclass_training_folds.py:749-762)."""
     if isinstance(loss_fn, str):
         loss_fn = losses_lib.LOSSES[loss_fn]
+    from vivim_tpu.train.metrics import per_class_confusion
 
     @jax.jit
     def step(state: TrainState, batch):
@@ -222,6 +245,11 @@ def make_eval_step(model, loss_fn: Callable | str = "recall_focused",
         if with_edge and edge_loss_fn is not None and "edges" in batch:
             loss = loss + edge_loss_fn(
                 logits5, batch["masks"], out[1], batch["edges"])
-        return loss, logits, targets
+        preds = jnp.argmax(logits, axis=-1)
+        conf = per_class_confusion(preds, targets, num_classes)
+        cm = confusion_matrix_device(preds, targets, num_classes)
+        if return_preds:
+            return loss, conf, cm, preds
+        return loss, conf, cm
 
     return step

@@ -287,9 +287,14 @@ class MulticlassMetricsTracker:
         pred = pred.reshape(-1, *pred.shape[-2:])
         gt = gt.reshape(-1, *gt.shape[-2:])
         conf = np.asarray(per_class_confusion(pred, gt, self.num_classes))
-        present = np.array([
-            [(gt[i] == c).any() for c in range(self.num_classes)]
-            for i in range(gt.shape[0])])
+        self.update_from_confusion(conf)
+
+    def update_from_confusion(self, conf):
+        """Accumulate from precomputed (N, C, 4) [tp, fp, tn, fn] counts
+        (the device-side output of ``per_class_confusion`` — class presence
+        in GT is exactly tp + fn > 0, so no label maps are needed)."""
+        conf = np.asarray(conf)
+        present = (conf[:, :, 0] + conf[:, :, 3]) > 0
         for i in range(conf.shape[0]):
             for c in range(self.num_classes):
                 if not present[i, c]:

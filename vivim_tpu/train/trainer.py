@@ -146,15 +146,13 @@ class Trainer:
         cm = np.zeros((self.cfg.num_classes,) * 2, np.int64)
         losses = []
         for batch in self.val_loader:
-            loss, logits, targets = self.eval_step(
+            # metric accumulation happens on device (make_eval_step): only
+            # the (B*T, C, 4) counters and the (C, C) matrix come to host
+            loss, conf, cm_b = self.eval_step(
                 self.state, self._device_batch(batch))
             losses.append(float(loss))
-            logits = np.asarray(logits)
-            targets = np.asarray(targets)
-            preds = logits.argmax(-1)
-            tracker.update(logits, targets)
-            cm += confusion_matrix_from_labels(
-                preds, targets, self.cfg.num_classes)
+            tracker.update_from_confusion(np.asarray(conf))
+            cm += np.asarray(cm_b, dtype=np.int64)
         results = tracker.get_results()
         # aggregate-set metrics from the confusion matrix: micro Jaccard
         # (torchmetrics MulticlassJaccardIndex average="micro") and macro
