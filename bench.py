@@ -6,13 +6,21 @@ image_size=256, train_bs=3 — full jitted train step (recall_focused loss,
 AdamW, Pallas selective-scan fwd+bwd) on synthetic data.
 
 Prints ONE JSON line:
-  {"metric": ..., "value": N, "unit": "clips/sec/chip", "vs_baseline": N}
+  {"metric": ..., "value": N, "unit": "clips/sec/chip", "vs_baseline": N,
+   "step_ms": N, "model_tflops_per_step": N, "mfu": N}
 
 ``vs_baseline`` is measured against an ESTIMATED A100 reference throughput
 for the PyTorch/CUDA reference at the same config (the reference publishes
 no numbers, BASELINE.md): ~12 clips/sec — derived from the reference model's
 ~1.6 TFLOP/step at fp16 AMP on A100 with typical 35-40% MFU plus CUDA scan
 overheads.  vs_baseline > 1.0 means faster than that estimate.
+
+``mfu`` is measured against the XLA cost model's FLOP count for the
+compiled train step (jit(...).compile().cost_analysis()["flops"] — an
+analytic count of the HLO's matmul/conv/elementwise FLOPs, not a guess)
+over the chip's bf16 peak.  The steps are chained through the carried
+train state inside ONE jitted lax.scan, so a single dispatch covers all
+timed steps — per-step wall time is device time, not tunnel/dispatch RTT.
 """
 
 import json
@@ -22,13 +30,32 @@ import time
 
 A100_REFERENCE_CLIPS_PER_SEC = 12.0  # estimated; see module docstring
 
+# bf16 peak TFLOP/s by TPU generation (public spec sheets)
+PEAK_BF16_TFLOPS = {
+    "v5 lite": 197.0,  # v5e
+    "v5e": 197.0,
+    "v5p": 459.0,
+    "v4": 275.0,
+    "v6 lite": 918.0,  # v6e / Trillium
+    "v6e": 918.0,
+}
+
 BATCH = int(os.environ.get("BENCH_BATCH", 3))
 CLIP_LEN = int(os.environ.get("BENCH_CLIP_LEN", 5))
 IMG = int(os.environ.get("BENCH_IMAGE_SIZE", 256))
-WARMUP = int(os.environ.get("BENCH_WARMUP", 3))
 STEPS = int(os.environ.get("BENCH_STEPS", 10))
 DTYPE = os.environ.get("BENCH_DTYPE", "bfloat16")  # bfloat16 (default, matches
 # the reference's fp16-AMP training; fp32 scan state preserved) | float32
+
+
+def _peak_tflops() -> float:
+    import jax
+
+    kind = jax.devices()[0].device_kind.lower()
+    for key, val in PEAK_BF16_TFLOPS.items():
+        if key in kind:
+            return val
+    return 197.0  # default to v5e
 
 
 def main():
@@ -74,33 +101,53 @@ def main():
     step_fn = loop_lib.make_train_step(model, "recall_focused", 3, tx,
                                        compute_dtype=compute_dtype)
 
-    # NOTE: under the tunneled TPU runtime, block_until_ready does not
-    # actually synchronize — a device->host VALUE fetch does.  Steps are
-    # chained through the carried train state, so timing K chained steps
-    # and fetching the final loss measures true sequential step time; the
-    # best of several repetitions filters tunnel queueing jitter.
-    for _ in range(WARMUP):
-        state, metrics = step_fn(state, batch)
-    _ = float(metrics["loss"])
+    # Chain STEPS optimizer steps inside one jit: a single dispatch covers
+    # the whole timed window, so per-step time is sequential device time
+    # (under the tunneled TPU runtime each dispatch costs RTT, and
+    # block_until_ready does not synchronize — a device->host VALUE fetch
+    # does; the final loss fetch is that sync).
+    @jax.jit
+    def run_steps(state):
+        def body(s, _):
+            s, m = step_fn(s, batch)
+            return s, m["loss"]
+        s, losses = jax.lax.scan(body, state, length=STEPS)
+        return s, losses[-1]
 
+    # analytic FLOPs of ONE train step from the XLA cost model
+    step_flops = None
+    try:
+        cost = step_fn.lower(state, batch).compile().cost_analysis()
+        if cost and "flops" in cost:
+            step_flops = float(cost["flops"])
+    except Exception:
+        pass
+
+    state, loss = run_steps(state)  # warmup (compile)
+    _ = float(loss)
     best = float("inf")
     for _ in range(int(os.environ.get("BENCH_REPEATS", 5))):
         t0 = time.time()
-        for _ in range(STEPS):
-            state, metrics = step_fn(state, batch)
-        _ = float(metrics["loss"])
+        state, loss = run_steps(state)
+        _ = float(loss)
         best = min(best, (time.time() - t0) / STEPS)
     dt = best
 
     clips_per_sec = BATCH / dt
     suffix = "_bf16" if DTYPE == "bfloat16" else ""
-    print(json.dumps({
+    out = {
         "metric": f"vivim_b3_train_clips_per_sec_chip_bs{BATCH}_"
                   f"clip{CLIP_LEN}_{IMG}px{suffix}",
         "value": round(clips_per_sec, 3),
         "unit": "clips/sec/chip",
         "vs_baseline": round(clips_per_sec / A100_REFERENCE_CLIPS_PER_SEC, 3),
-    }))
+        "step_ms": round(dt * 1e3, 2),
+    }
+    if step_flops is not None:
+        peak = _peak_tflops()
+        out["model_tflops_per_step"] = round(step_flops / 1e12, 3)
+        out["mfu"] = round(step_flops / dt / (peak * 1e12), 4)
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

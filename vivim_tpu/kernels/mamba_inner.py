@@ -7,7 +7,16 @@ the scan into one autograd Function with checkpoint_lvl=1 (conv output and
 delta recomputed in the backward, :228-241).  On TPU the matmuls belong on
 the MXU and XLA fuses the elementwise chain, so this is a jnp composition
 around the Pallas scan; the same recompute-in-backward memory behavior is
-obtained with ``jax.checkpoint`` (remat) around the pre-scan chain.
+available with ``jax.checkpoint`` (remat) around the pre-scan chain via
+``remat=True``.
+
+Remat is OFF by default: on TPU the recompute is pure cost unless memory
+is tight — traces at the bench config (bs=3, clip5, 256px) showed the
+backward-pass recompute of the conv + projection chain at ~9 ms of a 91 ms
+step (HBM-bound f32 conv fusions + the re-run projection matmuls), while
+storing the pre-scan outputs costs only ~1 ms of extra HBM traffic and a
+few hundred MB of a 16 GB HBM.  The CUDA reference hard-codes the
+recompute (checkpoint_lvl=1) because it targets memory-starved GPUs.
 """
 
 from __future__ import annotations
@@ -21,10 +30,9 @@ from vivim_tpu.kernels.causal_conv1d import causal_conv1d
 from vivim_tpu.kernels.selective_scan import selective_scan
 
 
-@functools.partial(jax.checkpoint, static_argnums=(5,))
 def _pre_scan(xz, conv1d_weight, conv1d_bias, x_proj_weight, delta_proj_weight,
               dstate):
-    """Conv + projections: recomputed in the backward pass (checkpoint_lvl=1)."""
+    """Conv + projections (optionally recomputed in the backward pass)."""
     d_inner = xz.shape[-1] // 2
     delta_rank = delta_proj_weight.shape[1]
     x, z = xz[..., :d_inner], xz[..., d_inner:]
@@ -53,22 +61,30 @@ def mamba_inner(
     out_proj_bias=None,
     delta_softplus=True,
     implementation=None,
+    remat=False,
+    seq_axis=None,
+    mesh=None,
 ):
     """Fused Mamba-block inner function, time-major.
 
     Args match ``refs.mamba_inner_ref``: xz (batch, L, 2*d_inner),
     conv1d_weight (width, d_inner), x_proj_weight (dt_rank+2*dstate, d_inner),
     delta_proj_weight (d_inner, dt_rank), A (d_inner, dstate).
+    ``remat=True`` recomputes the pre-scan chain in the backward
+    (checkpoint_lvl=1 memory behavior) — off by default, see module doc.
 
     Returns (batch, L, d_inner), or (batch, L, d_model) with out_proj.
     """
     dstate = A.shape[1]
-    x, z, delta, B, C = _pre_scan(
+    pre = (jax.checkpoint(_pre_scan, static_argnums=(5,)) if remat
+           else _pre_scan)
+    x, z, delta, B, C = pre(
         xz, conv1d_weight, conv1d_bias, x_proj_weight, delta_proj_weight,
         dstate)
     y = selective_scan(
         x, delta, A, B, C, D=D, z=z, delta_bias=delta_bias,
-        delta_softplus=delta_softplus, implementation=implementation)
+        delta_softplus=delta_softplus, implementation=implementation,
+        seq_axis=seq_axis, mesh=mesh)
     if out_proj_weight is not None:
         y = jnp.einsum("bld,od->blo", y, out_proj_weight)
         if out_proj_bias is not None:
@@ -76,7 +92,6 @@ def mamba_inner(
     return y
 
 
-@functools.partial(jax.checkpoint, static_argnums=(5, 6))
 def _pre_scan_grouped(xz, conv_w_g, conv_b_g, x_proj_g, dt_proj_g, dstate,
                       groups):
     """Grouped conv + projections for the batched tri-directional path.
@@ -124,6 +139,9 @@ def mamba_inner_grouped(
     nb: int,
     delta_softplus=True,
     implementation=None,
+    remat=False,
+    seq_axis=None,
+    mesh=None,
 ):
     """Batched multi-direction Mamba inner: one fused scan for all G
     directions (the reference launches the CUDA pipeline once per direction,
@@ -131,14 +149,20 @@ def mamba_inner_grouped(
 
     xz_grouped: (G*B, L, 2*d_inner), direction-major.  Per-direction
     parameter stacks carry a leading (G,) axis.  Returns (G*B, L, d_inner).
+    ``remat=True`` recomputes the pre-scan chain in the backward — off by
+    default (see module doc: the recompute costs ~9 ms/step at the bench
+    config for a few hundred MB of saved activations).
     """
     G = conv_w_g.shape[0]
     dstate = A_log_g.shape[-1]
-    x, z, delta, Bv, Cv = _pre_scan_grouped(
+    pre = (jax.checkpoint(_pre_scan_grouped, static_argnums=(5, 6)) if remat
+           else _pre_scan_grouped)
+    x, z, delta, Bv, Cv = pre(
         xz_grouped, conv_w_g, conv_b_g, x_proj_g, dt_proj_g, dstate, G)
     rep = lambda t: jnp.repeat(t, nb, axis=0)  # (G, ...) -> (G*B, ...)
     return selective_scan(
         x, delta, rep(-jnp.exp(A_log_g.astype(jnp.float32))), Bv, Cv,
         D=rep(D_g.astype(jnp.float32)), z=z,
         delta_bias=rep(delta_bias_g.astype(jnp.float32)),
-        delta_softplus=delta_softplus, implementation=implementation)
+        delta_softplus=delta_softplus, implementation=implementation,
+        seq_axis=seq_axis, mesh=mesh)

@@ -42,7 +42,12 @@ from jax.experimental.pallas import tpu as pltpu
 
 from vivim_tpu.kernels import refs
 
-DEFAULT_CHUNK = 128
+import os
+
+# 128 and 256 both fit the backward's VMEM envelope; 256 measures ~2%
+# faster end-to-end on v5e (halves the grid-iteration overhead; 512 OOMs
+# the backward's scoped vmem).
+DEFAULT_CHUNK = int(os.environ.get("VIVIM_SCAN_CHUNK", 256))
 DEFAULT_DTILE = 128
 
 _NEG_INF = -1e9  # delta pad that softplus maps to 0 (=> a = exp(0*A) = 1)
@@ -447,6 +452,13 @@ def _bwd_call(u, delta, A, B, C, Dskip, z, bias, chunk_states, dout, dlast,
 
     kernel = functools.partial(_bwd_kernel, softplus=softplus, has_z=has_z)
     f32 = jnp.float32
+    # Sequence grads (ddelta/du/dz/dB/dC) are emitted in the activation
+    # dtype: they feed straight into further bf16 backward matmuls, and f32
+    # stores would double the kernel's HBM writes plus add separate
+    # convert-element-type ops outside (~3 ms/step at the bench config).
+    # Parameter grads (dA/dD/dbias/dh0) stay f32 — they are reduced over
+    # batch/chunks and feed fp32 parameter islands.
+    seq_dt = u.dtype
     outs = pl.pallas_call(
         kernel,
         grid=(batch, nd, nk),
@@ -463,11 +475,12 @@ def _bwd_call(u, delta, A, B, C, Dskip, z, bias, chunk_states, dout, dlast,
             pl.BlockSpec((1, n, dtile), lambda b, j, k: (b, 0, j)),   # dh0
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((batch, Lp, dpad), f32),
-            jax.ShapeDtypeStruct((batch, Lp, dpad), f32),
-            jax.ShapeDtypeStruct((batch, Lp, n), f32),
-            jax.ShapeDtypeStruct((batch, Lp, n), f32),
-            jax.ShapeDtypeStruct((batch, Lp, dpad) if has_z else (1, 1), f32),
+            jax.ShapeDtypeStruct((batch, Lp, dpad), seq_dt),
+            jax.ShapeDtypeStruct((batch, Lp, dpad), seq_dt),
+            jax.ShapeDtypeStruct((batch, Lp, n), seq_dt),
+            jax.ShapeDtypeStruct((batch, Lp, n), seq_dt),
+            jax.ShapeDtypeStruct((batch, Lp, dpad) if has_z else (1, 1),
+                                 seq_dt),
             jax.ShapeDtypeStruct((batch, n, dpad), f32),
             jax.ShapeDtypeStruct((batch, 1, dpad), f32),
             jax.ShapeDtypeStruct((batch, 1, dpad), f32),
@@ -521,7 +534,7 @@ def _core_bwd(delta_softplus, chunk, dtile, res, cts):
     dout, dlast = cts
     ddelta, du, dB, dC, dz, dA, dD, dbias, dh0 = _bwd_call(
         u, delta, A, B, C, Dskip, z, delta_bias, chunk_states,
-        dout.astype(jnp.float32), dlast.astype(jnp.float32),
+        dout, dlast.astype(jnp.float32),
         delta_softplus, chunk, dtile)
     if A.ndim == 2:
         dA = jnp.sum(dA, axis=0)
@@ -555,6 +568,8 @@ def selective_scan(
     implementation=None,
     chunk=DEFAULT_CHUNK,
     dtile=DEFAULT_DTILE,
+    seq_axis=None,
+    mesh=None,
 ):
     """Selective scan, time-major: see ``refs.selective_scan_ref`` for the
     semantic contract.  ``implementation``: "pallas" (default; interpreted
@@ -563,7 +578,28 @@ def selective_scan(
     constant/grouped B or C falls back to the reference implementation.
     ``initial_state``: (batch, dim, dstate) carried scan state (streaming /
     sequence-parallel shards); differentiable.
+
+    ``seq_axis`` + ``mesh``: shard the L axis over the named mesh axis and
+    run the sequence-parallel two-pass scan (a shard_map island inside the
+    surrounding pjit program; parallel/seq_scan.py).  Requires
+    delta_softplus=True and no initial_state.
     """
+    n_shards = (dict(zip(mesh.axis_names, mesh.devices.shape))[seq_axis]
+                if (seq_axis is not None and mesh is not None) else 1)
+    if n_shards > 1 and u.shape[1] % n_shards == 0:
+        # L indivisible by the axis falls through to the single-device scan
+        # (deep Vivim stages have tiny L; the long-clip win is at the
+        # high-resolution stages)
+        from vivim_tpu.parallel.seq_scan import seq_sharded_selective_scan
+
+        if not delta_softplus or initial_state is not None:
+            raise ValueError(
+                "seq-sharded scan requires delta_softplus=True and no "
+                "initial_state")
+        y, last = seq_sharded_selective_scan(
+            u, delta, A, B, C, D=D, z=z, delta_bias=delta_bias,
+            mesh=mesh, axis_name=seq_axis, implementation=implementation)
+        return (y, last) if return_last_state else y
     if implementation == "ref" or B.ndim != 3 or C.ndim != 3:
         return refs.selective_scan_ref(
             u, delta, A, B, C, D, z, delta_bias, delta_softplus,

@@ -23,6 +23,40 @@ trunc_normal_init = nn.initializers.truncated_normal(stddev=0.02, lower=-2.0,
                                                      upper=2.0)
 
 
+def fast_keep_mask(rng, keep: float, shape):
+    """Keep-mask from uint8 random bits: ``bits < round(keep*256)``.
+
+    ``jax.random.bernoulli`` draws 32 random bits per element; at the
+    decode head's mask sizes (~280M draws/step at the bench config) the
+    bit generation alone is ~1.8 ms/step.  uint8 bits are 4x cheaper and
+    quantize the keep probability to 1/256 — immaterial for dropout, and
+    unbiased because the exact quantized keep is returned for rescaling.
+
+    Returns (mask bool, actual_keep float).
+    """
+    q = int(round(keep * 256.0))
+    bits = jax.random.bits(rng, shape, dtype=jnp.uint8)
+    return bits < jnp.uint8(q), q / 256.0
+
+
+class FastDropout(nn.Module):
+    """Elementwise dropout using ``fast_keep_mask`` (uint8 random bits).
+
+    Same semantics as flax ``nn.Dropout`` (inverted scaling) with the keep
+    probability quantized to 1/256.
+    """
+
+    rate: float
+
+    @nn.compact
+    def __call__(self, x, deterministic: bool = True):
+        if self.rate == 0.0 or deterministic:
+            return x
+        rng = self.make_rng("dropout")
+        mask, keep = fast_keep_mask(rng, 1.0 - self.rate, x.shape)
+        return jnp.where(mask, x / keep, 0.0)
+
+
 class DropPath(nn.Module):
     """Stochastic depth: drop the residual branch per sample.
 

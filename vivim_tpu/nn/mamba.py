@@ -110,6 +110,18 @@ class MambaV3(nn.Module):
     bias: bool = False
     bimamba_type: str = "v3"
     scan_implementation: str | None = None  # None -> pallas on TPU
+    # recompute the conv+projection chain in the backward (CUDA
+    # checkpoint_lvl=1 behavior).  Off by default: on TPU the recompute
+    # costs ~10% of a train step and the saved activations are cheap
+    # relative to HBM (see kernels/mamba_inner.py module doc).
+    remat_pre_scan: bool = False
+    # long-clip mode: shard the token axis over this named mesh axis — the
+    # scan runs as a sequence-parallel shard_map island
+    # (parallel/seq_scan.py) while the flip / frame<->position permutes and
+    # the conv+projection chain stay plain pjit ops (GSPMD inserts the
+    # halo/reshard collectives).
+    seq_axis: str | None = None
+    mesh: jax.sharding.Mesh | None = None
 
     @property
     def d_inner(self):
@@ -159,6 +171,9 @@ class MambaV3(nn.Module):
             delta_bias=p["dt_bias"].astype(jnp.float32),
             delta_softplus=True,
             implementation=self.scan_implementation,
+            remat=self.remat_pre_scan,
+            seq_axis=self.seq_axis,
+            mesh=self.mesh,
         )
 
     @nn.compact
@@ -201,7 +216,9 @@ class MambaV3(nn.Module):
                 xz_all, stack("conv_w"), stack("conv_b"), stack("x_proj"),
                 stack("dt_proj"), stack("A_log"), stack("D"),
                 stack("dt_bias"), nb=B,
-                implementation=self.scan_implementation)
+                implementation=self.scan_implementation,
+                remat=self.remat_pre_scan,
+                seq_axis=self.seq_axis, mesh=self.mesh)
             out_f, out_b, out_s = jnp.split(out_all, 3, axis=0)
             out = (out_f + jnp.flip(out_b, axis=1)
                    + position_to_frame_major(out_s, nframes)) / 3.0
@@ -236,11 +253,23 @@ class MambaLayer(nn.Module):
     drop_path: float = 0.0
     scan_implementation: str | None = None
     gelu_approximate: bool = False  # exact erf by default (torch parity)
+    remat_pre_scan: bool = False
+    seq_axis: str | None = None
+    mesh: jax.sharding.Mesh | None = None
 
     @nn.compact
     def __call__(self, x, nframes: int, H: int, W: int,
                  deterministic: bool = True):
         """x: (B, L, C) tokens with L = nframes * H * W."""
+        if self.seq_axis is not None and self.mesh is not None:
+            n_shards = dict(zip(self.mesh.axis_names,
+                                self.mesh.devices.shape))[self.seq_axis]
+            if x.shape[1] % n_shards == 0:
+                # keep the token axis sharded over seq between blocks
+                x = jax.lax.with_sharding_constraint(
+                    x, jax.sharding.NamedSharding(
+                        self.mesh, jax.sharding.PartitionSpec(
+                            None, self.seq_axis, None)))
         mamba = MambaV3(
             d_model=self.dim,
             d_state=self.d_state,
@@ -248,6 +277,9 @@ class MambaLayer(nn.Module):
             expand=self.expand,
             bimamba_type="v3",
             scan_implementation=self.scan_implementation,
+            remat_pre_scan=self.remat_pre_scan,
+            seq_axis=self.seq_axis,
+            mesh=self.mesh,
             name="mamba",
         )
         drop_path = DropPath(self.drop_path)

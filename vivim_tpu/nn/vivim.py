@@ -30,6 +30,7 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from vivim_tpu.nn import segformer as sf
+from vivim_tpu.nn.layers import FastDropout, fast_keep_mask
 from vivim_tpu.nn.mamba import MambaLayer
 
 
@@ -45,6 +46,13 @@ class VivimConfig:
     hidden_size: int = 768
     segformer: sf.SegformerConfig = dataclasses.field(default_factory=sf.mit_b3)
     scan_implementation: str | None = None
+    # recompute the Mamba pre-scan chain in the backward (memory saver;
+    # ~10% step-time cost — see kernels/mamba_inner.py)
+    remat_pre_scan: bool = False
+    # long-clip mode: shard Mamba tokens over this named mesh axis
+    # (sequence-parallel scan; parallel/seq_scan.py)
+    seq_axis: str | None = None
+    mesh: jax.sharding.Mesh | None = None
 
     @classmethod
     def tiny_test(cls, **kw):
@@ -82,6 +90,9 @@ class VivimEncoder(nn.Module):
                     drop_path=dp_rate,
                     scan_implementation=cfg.scan_implementation,
                     gelu_approximate=seg.gelu_approximate,
+                    remat_pre_scan=cfg.remat_pre_scan,
+                    seq_axis=cfg.seq_axis,
+                    mesh=cfg.mesh,
                     name=f"mamba_{i}_{j}",
                 )(t5, T, Hi, Wi, deterministic)
             h = t5.reshape(B * T, Hi, Wi, dim)
@@ -98,8 +109,7 @@ def _maybe_scale_dropout(x, rng_gate, rng_mask, rate, deterministic):
     if deterministic or rate == 0.0:
         return x
     gate = jax.random.bernoulli(rng_gate, 0.5)
-    keep = 1.0 - rate
-    mask = jax.random.bernoulli(rng_mask, keep, x.shape)
+    mask, keep = fast_keep_mask(rng_mask, 1.0 - rate, x.shape)
     dropped = jnp.where(mask, x / keep, 0.0)
     return jnp.where(gate, dropped, x)
 
@@ -185,9 +195,10 @@ class Vivim(nn.Module):
                             epsilon=1e-5, name="batch_norm")(hmap)
         hmap = nn.relu(hmap)
         # head dropout applied twice (vivim.py:319-322)
-        drop = nn.Dropout(seg.classifier_dropout, deterministic=deterministic)
-        hmap = drop(hmap)
-        hmap = drop(hmap)
+        hmap = FastDropout(seg.classifier_dropout, name="head_drop_0")(
+            hmap, deterministic)
+        hmap = FastDropout(seg.classifier_dropout, name="head_drop_1")(
+            hmap, deterministic)
         # channelwise feature dropout (Dropout2d, vivim.py:270, 323)
         hmap = nn.Dropout(cfg.dropout_rate, broadcast_dims=(1, 2),
                           deterministic=deterministic)(hmap)
