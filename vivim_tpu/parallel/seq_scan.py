@@ -47,11 +47,15 @@ def seq_sharded_selective_scan_local(
 
     dp = delta.astype(jnp.float32)
     if delta_bias is not None:
-        dp = dp + delta_bias.astype(jnp.float32)[None, None, :]
+        bias = delta_bias.astype(jnp.float32)
+        # (dim,) shared or (batch, dim) per-batch (tri-directional stacks)
+        dp = dp + (bias[:, None, :] if bias.ndim == 2 else bias[None, None, :])
     dp = jax.nn.softplus(dp)
     # total decay of this shard: exp(A * sum_t delta') — (B, dim, N)
-    a_prod = jnp.exp(A.astype(jnp.float32)[None] *
-                     jnp.sum(dp, axis=1)[:, :, None])
+    Af = A.astype(jnp.float32)
+    if Af.ndim == 2:
+        Af = Af[None]
+    a_prod = jnp.exp(Af * jnp.sum(dp, axis=1)[:, :, None])
 
     _, local_last = selective_scan(
         u, delta, A, B, C, D=D, z=z, delta_bias=delta_bias,
