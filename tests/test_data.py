@@ -155,3 +155,54 @@ def test_augmentation_geometric_sync():
     # the black region of the rotated image coincides with the mask region
     overlap = (m3 & a3).sum() / max(m3.sum(), 1)
     assert overlap > 0.9
+
+
+def test_load_clip_native_matches_pil_fallback(tmp_path):
+    """Dataset-level parity: the native C++ resize/normalize/enhance path
+    produces the same clips as the pure-PIL fallback (VERDICT #5 — prove
+    the PIL-matching claim at dataset level, not just per-op)."""
+    import numpy as np
+    from PIL import Image
+
+    from vivim_tpu import native
+    from vivim_tpu.data.dataset import ClipDataset
+
+    rng = np.random.default_rng(7)
+    vdir = tmp_path / "vid"
+    vdir.mkdir()
+    for f in range(5):
+        img = rng.integers(0, 255, (96, 96, 3), np.uint8)
+        Image.fromarray(img).save(vdir / f"{f:04d}_frame.png")
+        m = (rng.random((96, 96)) > 0.5).astype(np.uint8) * 255
+        Image.fromarray(255 - m).save(vdir / f"{f:04d}_background.png")
+        Image.fromarray(m).save(vdir / f"{f:04d}_solid.png")
+
+    def load(augment):
+        ds = ClipDataset(str(tmp_path), size=64, clip_len=5, augment=augment,
+                         with_edges=True, seed=11)
+        return ds.load_clip(0)
+
+    if native.get_lib() is None:
+        import pytest
+        pytest.skip("native lib unavailable")
+    with_native = load("medium")
+    with_native_eval = load("none")
+    # force the PIL fallback
+    native._LIB, native._TRIED = None, True
+    try:
+        fallback = load("medium")
+        fallback_eval = load("none")
+    finally:
+        native._TRIED = False
+    # eval path (no augmentation): bilinear+normalize and nearest resizes
+    np.testing.assert_allclose(with_native_eval["clip"],
+                               fallback_eval["clip"], atol=2e-2)
+    np.testing.assert_array_equal(with_native_eval["masks"],
+                                  fallback_eval["masks"])
+    np.testing.assert_array_equal(with_native_eval["edges"],
+                                  fallback_eval["edges"])
+    # train path adds the fused color-enhance chain (same rng stream; the
+    # fused chain is bit-exact up to +-1/255 vs the 4-pass PIL chain)
+    np.testing.assert_allclose(with_native["clip"], fallback["clip"],
+                               atol=3e-2)
+    np.testing.assert_array_equal(with_native["masks"], fallback["masks"])

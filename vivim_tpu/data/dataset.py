@@ -30,6 +30,7 @@ import re
 import numpy as np
 from PIL import Image
 
+from vivim_tpu import native
 from vivim_tpu.data import clips as clips_lib
 from vivim_tpu.data import augment as aug
 
@@ -196,15 +197,22 @@ class ClipDataset:
             imgs.append(img)
             mask_sets.append(masks)
 
+        # resize + normalize on the native (C++) path: PIL-matching
+        # antialiased bilinear for images fused with ImageNet normalization,
+        # nearest for masks (vivim_tpu/native/edge_ops.cc; PIL fallback when
+        # the toolchain is unavailable) — ~3x the PIL throughput, keeping
+        # the host loader ahead of the TPU step (see cli/bench_loader.py)
         clip = np.stack([
-            aug.normalize_image(
-                np.asarray(im.resize((S, S), Image.BILINEAR), np.float32)
-                / 255.0)
+            native.resize_bilinear_normalize(
+                np.asarray(im, np.uint8), S, S,
+                aug.IMAGENET_MEAN, aug.IMAGENET_STD)
             for im in imgs])
         mask_arrs, edges = [], []
         for masks in mask_sets:
-            chans = [np.asarray(m.resize((S, S), Image.NEAREST), np.float32)
-                     / 255.0 for m in masks]
+            chans = [
+                native.resize_nearest(
+                    np.asarray(m, np.uint8), S, S).astype(np.float32) / 255.0
+                for m in masks]
             onehot = np.stack(chans, axis=-1)
             if self.invert_background:
                 # binary pipeline: background mask marks non-lesion

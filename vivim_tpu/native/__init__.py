@@ -58,6 +58,8 @@ def get_lib():
     lib.vivim_resize_nearest_u8.argtypes = [u8p, i, i, u8p, i, i]
     lib.vivim_resize_bilinear_normalize.argtypes = [
         u8p, i, i, f32p, i, i, f32p, f32p]
+    f = ctypes.c_float
+    lib.vivim_color_enhance.argtypes = [u8p, i, i, f, f, f, f]
     _LIB = lib
     return _LIB
 
@@ -107,6 +109,21 @@ def resize_nearest(img: np.ndarray, dh: int, dw: int) -> np.ndarray:
     out = np.empty((dh, dw), np.uint8)
     lib.vivim_resize_nearest_u8(img, img.shape[0], img.shape[1], out, dh, dw)
     return out
+
+
+def color_enhance(img: np.ndarray, f_bright: float, f_contrast: float,
+                  f_color: float, f_sharp: float) -> np.ndarray:
+    """Fused PIL ImageEnhance Brightness->Contrast->Color->Sharpness chain
+    on an (H, W, 3) uint8 RGB array (ImageEnhance.py semantics; the four
+    separate PIL passes are the host loader's largest cost).  Returns None
+    when the native lib is unavailable (caller falls back to PIL)."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    img = np.ascontiguousarray(img, np.uint8)
+    lib.vivim_color_enhance(img, img.shape[0], img.shape[1],
+                            f_bright, f_contrast, f_color, f_sharp)
+    return img
 
 
 def resize_bilinear_normalize(img: np.ndarray, dh: int, dw: int,
