@@ -43,7 +43,7 @@ PEAK_BF16_TFLOPS = {
 BATCH = int(os.environ.get("BENCH_BATCH", 3))
 CLIP_LEN = int(os.environ.get("BENCH_CLIP_LEN", 5))
 IMG = int(os.environ.get("BENCH_IMAGE_SIZE", 256))
-STEPS = int(os.environ.get("BENCH_STEPS", 10))
+STEPS = int(os.environ.get("BENCH_STEPS", 30))
 DTYPE = os.environ.get("BENCH_DTYPE", "bfloat16")  # bfloat16 (default, matches
 # the reference's fp16-AMP training; fp32 scan state preserved) | float32
 
@@ -147,7 +147,48 @@ def main():
         peak = _peak_tflops()
         out["model_tflops_per_step"] = round(step_flops / 1e12, 3)
         out["mfu"] = round(step_flops / dt / (peak * 1e12), 4)
+
+    # 512px eval forward (the reference's inference resolution;
+    # inference.py:414-436 FPS accounting).  Uses the deterministic decode
+    # fast path + inference-only scan; disable with BENCH_EVAL_512=0.
+    try:
+        _bench_eval_512(out, jax, jnp, model, state, compute_dtype, rng)
+    except Exception as e:  # never lose the train metric to the eval add-on
+        out["eval_fps_512px_error"] = str(e)[:120]
+
     print(json.dumps(out))
+
+
+def _bench_eval_512(out, jax, jnp, model, state, compute_dtype, rng):
+    if int(os.environ.get("BENCH_EVAL_512", "1")):
+        ev_bs, ev_img, ev_steps = 1, 512, 5
+        clip512 = jax.random.normal(
+            rng, (ev_bs, CLIP_LEN, ev_img, ev_img, 3),
+            compute_dtype or jnp.float32)
+        from vivim_tpu.train.loop import cast_floating
+
+        ev_params = (cast_floating(state.params, compute_dtype)
+                     if compute_dtype is not None else state.params)
+
+        @jax.jit
+        def eval_steps(clip):
+            def body(c, _):
+                logits = model.apply(
+                    {"params": ev_params, "batch_stats": state.batch_stats},
+                    c, deterministic=True)
+                # chain through the input so steps serialize
+                c = c + 1e-6 * logits.mean()
+                return c, logits[0, 0, 0, 0, 0]
+            c, last = jax.lax.scan(body, clip, length=ev_steps)
+            return last[-1]
+
+        _ = float(eval_steps(clip512))
+        best_ev = float("inf")
+        for _ in range(3):
+            t0 = time.time()
+            _ = float(eval_steps(clip512))
+            best_ev = min(best_ev, (time.time() - t0) / ev_steps)
+        out["eval_fps_512px"] = round(ev_bs * CLIP_LEN / best_ev, 2)
 
 
 if __name__ == "__main__":

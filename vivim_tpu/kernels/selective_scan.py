@@ -169,8 +169,8 @@ def _round_up(x: int, m: int) -> int:
 
 
 def _fwd_kernel(delta_ref, u_ref, B_ref, C_ref, z_ref, A_ref, D_ref, bias_ref,
-                h0_ref, y_ref, cs_ref, ls_ref, state, *, softplus: bool,
-                has_z: bool, save_cs: bool):
+                h0_ref, y_ref, cs_ref, ls_ref, yp_ref, state, *,
+                softplus: bool, has_z: bool, save_cs: bool):
     k = pl.program_id(2)
     nk = pl.num_programs(2)
 
@@ -204,6 +204,11 @@ def _fwd_kernel(delta_ref, u_ref, B_ref, C_ref, z_ref, A_ref, D_ref, bias_ref,
     y = jnp.sum(h * Ct[:, :, None], axis=1)         # (C, DT)
     y = y + D_ref[0].astype(jnp.float32) * uf
     if has_z:
+        if save_cs:
+            # stash the pre-gate output for the backward: its dz term needs
+            # y_pre, and saving it here is one cheap store vs recomputing a
+            # (C, N, DT) multiply + N-reduce in the backward kernel
+            yp_ref[0] = y.astype(yp_ref.dtype)
         zf = z_ref[0].astype(jnp.float32)
         y = y * (zf * jax.nn.sigmoid(zf))
     y_ref[0] = y.astype(y_ref.dtype)
@@ -219,7 +224,7 @@ def _fwd_kernel(delta_ref, u_ref, B_ref, C_ref, z_ref, A_ref, D_ref, bias_ref,
 
 
 def _bwd_kernel(delta_ref, u_ref, B_ref, C_ref, z_ref, A_ref, D_ref, bias_ref,
-                dout_ref, dlast_ref, cs_ref,
+                dout_ref, dlast_ref, cs_ref, ypre_ref,
                 ddelta_ref, du_ref, dB_ref, dC_ref, dz_ref, dA_ref, dD_ref,
                 dbias_ref, dh0_ref, g_carry, *, softplus: bool, has_z: bool):
     k = pl.program_id(2)
@@ -246,7 +251,9 @@ def _bwd_kernel(delta_ref, u_ref, B_ref, C_ref, z_ref, A_ref, D_ref, bias_ref,
         zf = z_ref[0].astype(jnp.float32)
         sig = jax.nn.sigmoid(zf)
         silu = zf * sig
-        y_pre = jnp.sum(h * Ct[:, :, None], axis=1) + Dsk * uf
+        # pre-gate output saved by the forward (one store there vs a
+        # (C, N, DT) multiply + N-reduce recompute here)
+        y_pre = ypre_ref[0].astype(jnp.float32)
         dz_ref[0] = (dy * y_pre * (sig + silu * (1.0 - sig))).astype(dz_ref.dtype)
         dy = dy * silu
 
@@ -386,7 +393,11 @@ def _fwd_call(u, delta, A, B, C, Dskip, z, bias, h0, softplus, chunk, dtile,
                if save_cs else
                pl.BlockSpec((1, 1, n, dtile), lambda b, j, k: (0, 0, 0, 0)))
     cs_shape = ((batch, nk, n, dpad) if save_cs else (1, 1, n, dtile))
-    y, chunk_states, last_state = pl.pallas_call(
+    save_yp = save_cs and has_z
+    yp_spec = (ld_spec if save_yp
+               else pl.BlockSpec((1, 1, 1), lambda b, j, k: (0, 0, 0)))
+    yp_shape = ((batch, Lp, dpad) if save_yp else (1, 1, 1))
+    y, chunk_states, last_state, y_pre = pl.pallas_call(
         kernel,
         grid=(batch, nd, nk),
         in_specs=in_specs,
@@ -394,11 +405,13 @@ def _fwd_call(u, delta, A, B, C, Dskip, z, bias, h0, softplus, chunk, dtile,
             ld_spec,
             cs_spec,
             pl.BlockSpec((1, n, dtile), lambda b, j, k: (b, 0, j)),
+            yp_spec,
         ],
         out_shape=[
             jax.ShapeDtypeStruct((batch, Lp, dpad), u.dtype),
             jax.ShapeDtypeStruct(cs_shape, jnp.float32),
             jax.ShapeDtypeStruct((batch, n, dpad), jnp.float32),
+            jax.ShapeDtypeStruct(yp_shape, u.dtype),
         ],
         scratch_shapes=[pltpu.VMEM((n, dtile), jnp.float32)],
         compiler_params=pltpu.CompilerParams(
@@ -407,11 +420,13 @@ def _fwd_call(u, delta, A, B, C, Dskip, z, bias, h0, softplus, chunk, dtile,
         interpret=_interpret(),
     )(*inputs)
     # public layout for the state is (batch, dim, dstate), matching the ref
-    return y[:, :L, :d], chunk_states, jnp.swapaxes(last_state, 1, 2)[:, :d, :]
+    return (y[:, :L, :d], chunk_states,
+            jnp.swapaxes(last_state, 1, 2)[:, :d, :],
+            y_pre if save_yp else None)
 
 
-def _bwd_call(u, delta, A, B, C, Dskip, z, bias, chunk_states, dout, dlast,
-              softplus, chunk, dtile):
+def _bwd_call(u, delta, A, B, C, Dskip, z, bias, chunk_states, y_pre, dout,
+              dlast, softplus, chunk, dtile):
     # (gradient w.r.t. the initial state is emitted as dh0)
     u, delta, B, C, z, A, Dskip, bias, dims = _pad_args(
         u, delta, B, C, z, A, Dskip, bias, softplus, chunk, dtile)
@@ -447,8 +462,13 @@ def _bwd_call(u, delta, A, B, C, Dskip, z, bias, chunk_states, dout, dlast,
         ld_spec,  # dout
         pl.BlockSpec((1, n, dtile), lambda b, j, k: (b, 0, j)),  # dlast
         pl.BlockSpec((1, 1, n, dtile), lambda b, j, k: (b, nk - 1 - k, 0, j)),
+        (ld_spec if has_z
+         else pl.BlockSpec((1, 1, 1), lambda b, j, k: (0, 0, 0))),  # y_pre
     ]
-    inputs += [A_t, D2, b2, dout, dlast, chunk_states]
+    # y_pre comes from the forward already in padded (batch, Lp, dpad) form
+    if not has_z:
+        y_pre = jnp.zeros((1, 1, 1), u.dtype)
+    inputs += [A_t, D2, b2, dout, dlast, chunk_states, y_pre]
 
     kernel = functools.partial(_bwd_kernel, softplus=softplus, has_z=has_z)
     f32 = jnp.float32
@@ -515,25 +535,26 @@ def _bwd_call(u, delta, A, B, C, Dskip, z, bias, chunk_states, dout, dlast,
 @functools.partial(jax.custom_vjp, nondiff_argnums=(9, 10, 11))
 def _selective_scan_core(u, delta, A, B, C, Dskip, z, delta_bias, h0,
                          delta_softplus, chunk, dtile):
-    y, _, last_state = _fwd_call(u, delta, A, B, C, Dskip, z, delta_bias, h0,
-                                 delta_softplus, chunk, dtile, save_cs=False)
+    y, _, last_state, _ = _fwd_call(u, delta, A, B, C, Dskip, z, delta_bias,
+                                    h0, delta_softplus, chunk, dtile,
+                                    save_cs=False)
     return y, last_state
 
 
 def _core_fwd(u, delta, A, B, C, Dskip, z, delta_bias, h0, delta_softplus,
               chunk, dtile):
-    y, chunk_states, last_state = _fwd_call(
+    y, chunk_states, last_state, y_pre = _fwd_call(
         u, delta, A, B, C, Dskip, z, delta_bias, h0, delta_softplus, chunk,
         dtile)
     return (y, last_state), (u, delta, A, B, C, Dskip, z, delta_bias, h0,
-                             chunk_states)
+                             chunk_states, y_pre)
 
 
 def _core_bwd(delta_softplus, chunk, dtile, res, cts):
-    u, delta, A, B, C, Dskip, z, delta_bias, h0, chunk_states = res
+    u, delta, A, B, C, Dskip, z, delta_bias, h0, chunk_states, y_pre = res
     dout, dlast = cts
     ddelta, du, dB, dC, dz, dA, dD, dbias, dh0 = _bwd_call(
-        u, delta, A, B, C, Dskip, z, delta_bias, chunk_states,
+        u, delta, A, B, C, Dskip, z, delta_bias, chunk_states, y_pre,
         dout, dlast.astype(jnp.float32),
         delta_softplus, chunk, dtile)
     if A.ndim == 2:
