@@ -175,3 +175,62 @@ def test_mamba_lm_conversion_roundtrip():
         np.testing.assert_array_equal(np.asarray(fa[k]), np.asarray(fb[k]))
     out = model.apply({"params": conv}, toks)
     assert out.shape == (1, 4, cfg.padded_vocab)
+
+
+def test_hf_dir_segformer_graft(tmp_path):
+    """-hf_dir path: a local HF segformer snapshot initializes exactly the
+    reference's from_pretrained surface (encoder stages + decode-head
+    linear_c/linear_fuse/batch_norm, vivim.py:264-267), leaving Mamba
+    layers and the output conv freshly initialized."""
+    import numpy as np
+    import pytest
+
+    torch = pytest.importorskip("torch")
+    transformers = pytest.importorskip("transformers")
+    import jax
+    import jax.numpy as jnp
+
+    from vivim_tpu.cli.common import _overlay
+    from vivim_tpu.convert.torch_to_jax import (
+        load_torch_state_dict,
+        vivim_init_from_hf_segformer,
+    )
+    from vivim_tpu.nn.vivim import Vivim, VivimConfig
+
+    cfg = VivimConfig.tiny_test()
+    seg = cfg.segformer
+    hf_cfg = transformers.SegformerConfig(
+        num_channels=seg.num_channels, depths=list(seg.depths),
+        hidden_sizes=list(seg.hidden_sizes),
+        num_attention_heads=list(seg.num_attention_heads),
+        sr_ratios=list(seg.sr_ratios), patch_sizes=list(seg.patch_sizes),
+        strides=list(seg.strides), mlp_ratios=list(seg.mlp_ratios),
+        decoder_hidden_size=seg.decoder_hidden_size, num_labels=3)
+    torch.manual_seed(0)
+    hf = transformers.SegformerForSemanticSegmentation(hf_cfg)
+    torch.save(hf.state_dict(), tmp_path / "pytorch_model.bin")
+
+    sd = load_torch_state_dict(str(tmp_path))
+    part = vivim_init_from_hf_segformer(sd, cfg)
+
+    model = Vivim(cfg)
+    clip = jnp.zeros((1, 5, 32, 32, 3), jnp.float32)
+    variables = model.init(jax.random.PRNGKey(0), clip)
+    params = _overlay(dict(variables["params"]), part["params"])
+    bstats = _overlay(dict(variables["batch_stats"]), part["batch_stats"])
+
+    # the grafted patch-embed kernel equals the converted HF tensor
+    want = np.transpose(
+        hf.state_dict()[
+            "segformer.encoder.patch_embeddings.0.proj.weight"].numpy(),
+        (2, 3, 1, 0))
+    got = np.asarray(params["encoder"]["stage_0"]["embed"]["proj"]["kernel"])
+    np.testing.assert_allclose(got, want)
+    # mamba params untouched by the graft
+    np.testing.assert_allclose(
+        np.asarray(params["encoder"]["mamba_0_0"]["mamba"]["A_log"]),
+        np.asarray(variables["params"]["encoder"]["mamba_0_0"]["mamba"]["A_log"]))
+    # grafted model still runs
+    out = model.apply({"params": params, "batch_stats": bstats}, clip,
+                      deterministic=True)
+    assert out.shape == (1, 5, 32, 32, 3)

@@ -24,6 +24,13 @@ def build_train_parser(description="vivim_tpu training"):
     _add(p, "exp_name", type=str, default="vivim_train")
     _add(p, "pretrain", type=str, default=None,
          help="path of pretrained weights (orbax params dir or torch ckpt)")
+    _add(p, "hf_dir", type=str, default=None,
+         help="LOCAL HF snapshot dir of nvidia/segformer-b3-finetuned-"
+              "ade-512-512 (model.safetensors or pytorch_model.bin): "
+              "initializes the SegFormer encoder + decode head exactly as "
+              "the reference's from_pretrained (vivim.py:264-267); this "
+              "env has zero egress, so no downloading — point at a "
+              "pre-fetched snapshot")
     _add(p, "val_freq", type=int, default=5)
     _add(p, "image_size", type=int, default=256)
     _add(p, "train_bs", type=int, default=1)

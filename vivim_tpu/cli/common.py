@@ -47,6 +47,41 @@ def build_loaders(args, train_root, val_root=None, dynamic=False):
     return train_dl, val_dl
 
 
+def _overlay(base, part):
+    """Deep-merge ``part`` onto ``base`` (dict trees; leaves replaced)."""
+    out = dict(base)
+    for k, v in part.items():
+        if k in out and isinstance(out[k], dict) and isinstance(v, dict):
+            out[k] = _overlay(out[k], v)
+        else:
+            out[k] = v
+    return out
+
+
+def maybe_load_hf_segformer(args, cfg, state):
+    """-hf_dir: graft a local HF segformer-b3 snapshot onto the fresh Vivim
+    state — the reference's from_pretrained at construction
+    (vivim.py:264-267), without network."""
+    if not getattr(args, "hf_dir", None):
+        return state
+    import jax
+    import jax.numpy as jnp
+
+    from vivim_tpu.convert.torch_to_jax import (
+        load_torch_state_dict,
+        vivim_init_from_hf_segformer,
+    )
+
+    sd = load_torch_state_dict(args.hf_dir)
+    part = vivim_init_from_hf_segformer(sd, cfg)
+    cast = lambda tree: jax.tree_util.tree_map(
+        lambda x: jnp.asarray(x, jnp.float32), tree)
+    params = _overlay(dict(state.params), cast(part["params"]))
+    batch_stats = _overlay(dict(state.batch_stats),
+                           cast(part["batch_stats"]))
+    return state.replace(params=params, batch_stats=batch_stats)
+
+
 def maybe_load_pretrained(args, model, state):
     """Partial-weight init from a pretrained params dir
     (init_weight semantics: overlapping keys only,

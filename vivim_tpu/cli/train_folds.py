@@ -16,7 +16,12 @@ from __future__ import annotations
 import os
 
 from vivim_tpu.cli.args import build_train_parser
-from vivim_tpu.cli.common import build_loaders, build_model, maybe_load_pretrained
+from vivim_tpu.cli.common import (
+    build_loaders,
+    build_model,
+    maybe_load_hf_segformer,
+    maybe_load_pretrained,
+)
 from vivim_tpu.data.gather import gather_multiclass_frames
 from vivim_tpu.train.logging import MetricLogger
 from vivim_tpu.train.trainer import Trainer, TrainerConfig
@@ -52,6 +57,7 @@ def run_fold(args, fold: int):
                       os.path.join(run_dir, "ckpt"), logger, mesh=mesh,
                       with_edge=args.with_edge,
                       edge_loss_fn=_edge_loss() if args.with_edge else None)
+    trainer.state = maybe_load_hf_segformer(args, cfg, trainer.state)
     trainer.state = maybe_load_pretrained(args, model, trainer.state)
     best = trainer.fit(resume_path=args.resume_path)
     logger.finish()

@@ -109,6 +109,50 @@ def segformer_params_from_torch(sd, cfg):
     }
 
 
+def vivim_init_from_hf_segformer(sd, cfg):
+    """HF SegformerForSemanticSegmentation snapshot -> PARTIAL Vivim
+    variables: exactly the tensors the reference takes from
+    nvidia/segformer-b3-finetuned-ade-512-512 at construction
+    (/root/reference/modeling/vivim.py:264-267) — the encoder stages and
+    the decode head's linear_c / linear_fuse / batch_norm.  Mamba layers,
+    the output conv and the edge head stay freshly initialized.
+
+    Use with a LOCAL snapshot directory (zero-egress environments download
+    nothing): ``-hf_dir`` on the training CLIs.
+    """
+    seg = cfg.segformer
+    enc_full = segformer_encoder_params_from_torch(sd, seg)
+    # Vivim skips the per-stage encoder LayerNorms (vivim.py:211-212)
+    enc = {k: v for k, v in enc_full.items() if k.startswith("stage_")}
+    head, stats = segformer_decode_head_params_from_torch(
+        sd, seg, include_classifier=False)
+    params = {"encoder": enc}
+    for i in range(seg.num_stages):
+        params[f"linear_c_{i}"] = head[f"linear_c_{i}"]
+    params["linear_fuse"] = {"kernel": head["linear_fuse"]["kernel"]}
+    params["batch_norm"] = head["batch_norm"]
+    return {"params": params, "batch_stats": stats}
+
+
+def load_torch_state_dict(path):
+    """Load a torch state dict from a file or an HF snapshot directory
+    (model.safetensors preferred, else pytorch_model.bin)."""
+    import os
+
+    if os.path.isdir(path):
+        st = os.path.join(path, "model.safetensors")
+        bin_ = os.path.join(path, "pytorch_model.bin")
+        path = st if os.path.exists(st) else bin_
+    if path.endswith(".safetensors"):
+        from safetensors.numpy import load_file
+
+        return load_file(path)
+    import torch
+
+    sd = torch.load(path, map_location="cpu", weights_only=True)
+    return sd.get("state_dict", sd) if isinstance(sd, dict) else sd
+
+
 # ---------------------------------------------------------------------------
 # Mamba / Vivim conversion
 # ---------------------------------------------------------------------------
