@@ -103,8 +103,15 @@ def seq_sharded_selective_scan(
         seq_sharded_selective_scan_local, axis_name=axis_name,
         implementation=implementation)
 
-    def wrapped(u, delta, A, B, C, D, z, delta_bias):
-        return body(u, delta, A, B, C, D=D, z=z, delta_bias=delta_bias)
+    # optional args (shard_map specs cannot describe None): pass only the
+    # present ones and rebuild the keyword set inside
+    opt = [("D", D, rep), ("z", z, seq_spec), ("delta_bias", delta_bias, rep)]
+    present = [(name, val, spec) for name, val, spec in opt if val is not None]
+    names = [name for name, _, _ in present]
+
+    def wrapped(u, delta, A, B, C, *extras):
+        kwargs = dict(zip(names, extras))
+        return body(u, delta, A, B, C, **kwargs)
 
     import inspect
 
@@ -114,10 +121,11 @@ def seq_sharded_selective_scan(
         kw["check_rep"] = False
     elif "check_vma" in sig.parameters:
         kw["check_vma"] = False
+    in_specs = (seq_spec, seq_spec, rep, seq_spec, seq_spec,
+                *(spec for _, _, spec in present))
     return shard_map(
         wrapped, mesh=mesh,
-        in_specs=(seq_spec, seq_spec, rep, seq_spec, seq_spec, rep, seq_spec,
-                  rep),
+        in_specs=in_specs,
         out_specs=(seq_spec, rep),
         **kw,
-    )(u, delta, A, B, C, D, z, delta_bias)
+    )(u, delta, A, B, C, *(val for _, val, _ in present))
