@@ -1,0 +1,61 @@
+"""Smoke tests for the remaining CLI entry points' main() functions:
+make_folds, check_data, train_binary (tiny configs, synthetic trees)."""
+
+import json
+import os
+
+import matplotlib
+
+matplotlib.use("Agg")
+
+import numpy as np
+import pytest
+
+from tests.data_fixtures import make_gathered_tree, make_raw_tree
+
+
+def test_make_folds_main(tmp_path, capsys):
+    from vivim_tpu.cli import make_folds
+
+    raw = tmp_path / "raw"
+    make_raw_tree(str(raw), n_videos=6, n_frames=4)
+    out = tmp_path / "folds"
+    make_folds.main([str(raw), str(out), "--n_splits", "2",
+                     "--max_attempts", "2", "--no_copy"])
+    captured = capsys.readouterr().out
+    assert "best seed" in captured
+    assert (out / "split_metadata.csv").exists()
+    assert (out / "fold_statistics.csv").exists()
+
+
+def test_check_data_main(tmp_path, capsys):
+    from vivim_tpu.cli import check_data
+
+    tree = tmp_path / "tree"
+    make_gathered_tree(str(tree), n_videos=2, n_frames=6, size=40)
+    out_png = tmp_path / "check.png"
+    check_data.main([str(tree), "--image_size", "32", "--clip_length", "3",
+                     "--batches", "1", "--out", str(out_png)])
+    assert "clips from" in capsys.readouterr().out
+    assert out_png.exists()
+
+
+def test_train_binary_main(tmp_path):
+    from vivim_tpu.cli import train_binary
+
+    tree = tmp_path / "tree"
+    # binary layout: frame + background only
+    make_gathered_tree(str(tree), n_videos=2, n_frames=6, size=40,
+                       with_solid=False)
+    save = tmp_path / "runs"
+    train_binary.main([
+        "-data_path", str(tree), "-epochs", "1", "-image_size", "32",
+        "-clip_length", "3", "-train_bs", "2", "-val_bs", "2",
+        "-segformer", "tiny", "-num_workers", "0", "-val_freq", "1",
+        "-save_path", str(save), "-exp_name", "bin_smoke"])
+    logs = [f for f in (save / "bin_smoke").rglob("*.jsonl")]
+    assert logs, "no metric log written"
+    recs = [json.loads(line) for line in open(logs[0])]
+    assert any("val/dice" in r for r in recs)
+    losses = [r["train/loss"] for r in recs if "train/loss" in r]
+    assert losses and all(np.isfinite(v) for v in losses)
