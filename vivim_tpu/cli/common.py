@@ -2,7 +2,6 @@
 
 from __future__ import annotations
 
-import os
 
 from vivim_tpu.data.dataset import ClipDataset
 from vivim_tpu.data.loader import DataLoader

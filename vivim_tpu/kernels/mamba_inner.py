@@ -21,7 +21,6 @@ recompute (checkpoint_lvl=1) because it targets memory-starved GPUs.
 
 from __future__ import annotations
 
-import functools
 
 import jax
 import jax.numpy as jnp

@@ -33,7 +33,6 @@ import math
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 from flax import linen as nn
 
 from vivim_tpu.kernels.mamba_inner import mamba_inner, mamba_inner_grouped

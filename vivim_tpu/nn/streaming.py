@@ -16,7 +16,6 @@ parameters) with time-major activations.
 
 from __future__ import annotations
 
-import jax
 import jax.numpy as jnp
 
 from vivim_tpu.kernels.causal_conv1d import causal_conv1d, causal_conv1d_update
