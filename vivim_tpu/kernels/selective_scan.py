@@ -169,7 +169,7 @@ def _round_up(x: int, m: int) -> int:
 
 
 def _fwd_kernel(delta_ref, u_ref, B_ref, C_ref, z_ref, A_ref, D_ref, bias_ref,
-                h0_ref, y_ref, cs_ref, ls_ref, yp_ref, state, *,
+                h0_ref, y_ref, cs_ref, ls_ref, state, *,
                 softplus: bool, has_z: bool, save_cs: bool):
     k = pl.program_id(2)
     nk = pl.num_programs(2)
@@ -204,11 +204,9 @@ def _fwd_kernel(delta_ref, u_ref, B_ref, C_ref, z_ref, A_ref, D_ref, bias_ref,
     y = jnp.sum(h * Ct[:, :, None], axis=1)         # (C, DT)
     y = y + D_ref[0].astype(jnp.float32) * uf
     if has_z:
-        if save_cs:
-            # stash the pre-gate output for the backward: its dz term needs
-            # y_pre, and saving it here is one cheap store vs recomputing a
-            # (C, N, DT) multiply + N-reduce in the backward kernel
-            yp_ref[0] = y.astype(yp_ref.dtype)
+        # in-kernel gating is the INFERENCE path only; under autodiff the
+        # gating runs outside the kernel (see _core_fwd) so the backward
+        # kernel never touches z
         zf = z_ref[0].astype(jnp.float32)
         y = y * (zf * jax.nn.sigmoid(zf))
     y_ref[0] = y.astype(y_ref.dtype)
@@ -223,10 +221,12 @@ def _fwd_kernel(delta_ref, u_ref, B_ref, C_ref, z_ref, A_ref, D_ref, bias_ref,
 # ---------------------------------------------------------------------------
 
 
-def _bwd_kernel(delta_ref, u_ref, B_ref, C_ref, z_ref, A_ref, D_ref, bias_ref,
-                dout_ref, dlast_ref, cs_ref, ypre_ref,
-                ddelta_ref, du_ref, dB_ref, dC_ref, dz_ref, dA_ref, dD_ref,
-                dbias_ref, dh0_ref, g_carry, *, softplus: bool, has_z: bool):
+def _bwd_kernel(delta_ref, u_ref, B_ref, C_ref, A_ref, D_ref, bias_ref,
+                dout_ref, dlast_ref, cs_ref,
+                ddelta_ref, du_ref, dB_ref, dC_ref, dA_ref, dD_ref,
+                dbias_ref, dh0_ref, g_carry, *, softplus: bool):
+    # (the silu(z) gating and its gradients live OUTSIDE the kernel — the
+    # training path never passes z; see _core_fwd/_core_bwd)
     k = pl.program_id(2)
     nk = pl.num_programs(2)
 
@@ -247,15 +247,6 @@ def _bwd_kernel(delta_ref, u_ref, B_ref, C_ref, z_ref, A_ref, D_ref, bias_ref,
 
     dy = dout_ref[0].astype(jnp.float32)            # (C, DT)
     Dsk = D_ref[0].astype(jnp.float32)
-    if has_z:
-        zf = z_ref[0].astype(jnp.float32)
-        sig = jax.nn.sigmoid(zf)
-        silu = zf * sig
-        # pre-gate output saved by the forward (one store there vs a
-        # (C, N, DT) multiply + N-reduce recompute here)
-        y_pre = ypre_ref[0].astype(jnp.float32)
-        dz_ref[0] = (dy * y_pre * (sig + silu * (1.0 - sig))).astype(dz_ref.dtype)
-        dy = dy * silu
 
     dC = jnp.sum(h * dy[:, None, :], axis=2)        # (C, N)
     dC_ref[0] = dC.astype(dC_ref.dtype)
@@ -393,11 +384,7 @@ def _fwd_call(u, delta, A, B, C, Dskip, z, bias, h0, softplus, chunk, dtile,
                if save_cs else
                pl.BlockSpec((1, 1, n, dtile), lambda b, j, k: (0, 0, 0, 0)))
     cs_shape = ((batch, nk, n, dpad) if save_cs else (1, 1, n, dtile))
-    save_yp = save_cs and has_z
-    yp_spec = (ld_spec if save_yp
-               else pl.BlockSpec((1, 1, 1), lambda b, j, k: (0, 0, 0)))
-    yp_shape = ((batch, Lp, dpad) if save_yp else (1, 1, 1))
-    y, chunk_states, last_state, y_pre = pl.pallas_call(
+    y, chunk_states, last_state = pl.pallas_call(
         kernel,
         grid=(batch, nd, nk),
         in_specs=in_specs,
@@ -405,13 +392,11 @@ def _fwd_call(u, delta, A, B, C, Dskip, z, bias, h0, softplus, chunk, dtile,
             ld_spec,
             cs_spec,
             pl.BlockSpec((1, n, dtile), lambda b, j, k: (b, 0, j)),
-            yp_spec,
         ],
         out_shape=[
             jax.ShapeDtypeStruct((batch, Lp, dpad), u.dtype),
             jax.ShapeDtypeStruct(cs_shape, jnp.float32),
             jax.ShapeDtypeStruct((batch, n, dpad), jnp.float32),
-            jax.ShapeDtypeStruct(yp_shape, u.dtype),
         ],
         scratch_shapes=[pltpu.VMEM((n, dtile), jnp.float32)],
         compiler_params=pltpu.CompilerParams(
@@ -421,15 +406,15 @@ def _fwd_call(u, delta, A, B, C, Dskip, z, bias, h0, softplus, chunk, dtile,
     )(*inputs)
     # public layout for the state is (batch, dim, dstate), matching the ref
     return (y[:, :L, :d], chunk_states,
-            jnp.swapaxes(last_state, 1, 2)[:, :d, :],
-            y_pre if save_yp else None)
+            jnp.swapaxes(last_state, 1, 2)[:, :d, :])
 
 
-def _bwd_call(u, delta, A, B, C, Dskip, z, bias, chunk_states, y_pre, dout,
+def _bwd_call(u, delta, A, B, C, Dskip, bias, chunk_states, dout,
               dlast, softplus, chunk, dtile):
-    # (gradient w.r.t. the initial state is emitted as dh0)
-    u, delta, B, C, z, A, Dskip, bias, dims = _pad_args(
-        u, delta, B, C, z, A, Dskip, bias, softplus, chunk, dtile)
+    # (gradient w.r.t. the initial state is emitted as dh0; z never reaches
+    # the backward kernel — the gating grads run in XLA, _core_bwd)
+    u, delta, B, C, _, A, Dskip, bias, dims = _pad_args(
+        u, delta, B, C, None, A, Dskip, bias, softplus, chunk, dtile)
     batch, L, d, n, Lp, dpad = dims
     nk, nd = Lp // chunk, dpad // dtile
     dout = jnp.pad(dout, ((0, 0), (0, Lp - L), (0, dpad - d)))
@@ -438,7 +423,6 @@ def _bwd_call(u, delta, A, B, C, Dskip, z, bias, chunk_states, y_pre, dout,
     A_t = jnp.swapaxes(A, 1, 2).astype(jnp.float32)  # (B, N, Dp)
     D2 = Dskip.astype(jnp.float32)[:, None, :]       # (B, 1, Dp)
     b2 = bias.astype(jnp.float32)[:, None, :]        # (B, 1, Dp)
-    has_z = z is not None
 
     # Visit chunks right-to-left: reverse the k index in every L-blocked map.
     rev = lambda b, j, k: (b, nk - 1 - k, j)
@@ -447,30 +431,18 @@ def _bwd_call(u, delta, A, B, C, Dskip, z, bias, chunk_states, y_pre, dout,
     ln_spec = pl.BlockSpec((1, chunk, n), rev_n)
     row_spec = pl.BlockSpec((1, 1, dtile), lambda b, j, k: (b, 0, j))
 
-    in_specs = [ld_spec, ld_spec, ln_spec, ln_spec]
-    inputs = [delta, u, B, C]
-    if has_z:
-        in_specs.append(ld_spec)
-        inputs.append(z)
-    else:
-        in_specs.append(pl.BlockSpec((1, 1), lambda b, j, k: (0, 0)))
-        inputs.append(jnp.zeros((1, 1), u.dtype))
-    in_specs += [
+    in_specs = [
+        ld_spec, ld_spec, ln_spec, ln_spec,
         pl.BlockSpec((1, n, dtile), lambda b, j, k: (b, 0, j)),  # A
         row_spec,
         row_spec,
         ld_spec,  # dout
         pl.BlockSpec((1, n, dtile), lambda b, j, k: (b, 0, j)),  # dlast
         pl.BlockSpec((1, 1, n, dtile), lambda b, j, k: (b, nk - 1 - k, 0, j)),
-        (ld_spec if has_z
-         else pl.BlockSpec((1, 1, 1), lambda b, j, k: (0, 0, 0))),  # y_pre
     ]
-    # y_pre comes from the forward already in padded (batch, Lp, dpad) form
-    if not has_z:
-        y_pre = jnp.zeros((1, 1, 1), u.dtype)
-    inputs += [A_t, D2, b2, dout, dlast, chunk_states, y_pre]
+    inputs = [delta, u, B, C, A_t, D2, b2, dout, dlast, chunk_states]
 
-    kernel = functools.partial(_bwd_kernel, softplus=softplus, has_z=has_z)
+    kernel = functools.partial(_bwd_kernel, softplus=softplus)
     f32 = jnp.float32
     # Sequence grads (ddelta/du/dz/dB/dC) are emitted in the activation
     # dtype: they feed straight into further bf16 backward matmuls, and f32
@@ -488,7 +460,6 @@ def _bwd_call(u, delta, A, B, C, Dskip, z, bias, chunk_states, y_pre, dout,
             ld_spec,                                             # du
             ln_spec,                                             # dB
             ln_spec,                                             # dC
-            ld_spec if has_z else pl.BlockSpec((1, 1), lambda b, j, k: (0, 0)),
             pl.BlockSpec((1, n, dtile), lambda b, j, k: (b, 0, j)),  # dA part
             pl.BlockSpec((1, 1, dtile), lambda b, j, k: (b, 0, j)),   # dD part
             pl.BlockSpec((1, 1, dtile), lambda b, j, k: (b, 0, j)),   # dbias part
@@ -499,8 +470,6 @@ def _bwd_call(u, delta, A, B, C, Dskip, z, bias, chunk_states, y_pre, dout,
             jax.ShapeDtypeStruct((batch, Lp, dpad), seq_dt),
             jax.ShapeDtypeStruct((batch, Lp, n), seq_dt),
             jax.ShapeDtypeStruct((batch, Lp, n), seq_dt),
-            jax.ShapeDtypeStruct((batch, Lp, dpad) if has_z else (1, 1),
-                                 seq_dt),
             jax.ShapeDtypeStruct((batch, n, dpad), f32),
             jax.ShapeDtypeStruct((batch, 1, dpad), f32),
             jax.ShapeDtypeStruct((batch, 1, dpad), f32),
@@ -512,19 +481,18 @@ def _bwd_call(u, delta, A, B, C, Dskip, z, bias, chunk_states, y_pre, dout,
         ),
         interpret=_interpret(),
     )(*inputs)
-    ddelta, du, dB, dC, dz, dA_p, dD_p, dbias_p, dh0 = outs
+    ddelta, du, dB, dC, dA_p, dD_p, dbias_p, dh0 = outs
     ddelta = ddelta[:, :L, :d]
     du = du[:, :L, :d]
     dB = dB[:, :L, :]
     dC = dC[:, :L, :]
-    dz = dz[:, :L, :d] if has_z else None
     # per-batch parameter grads (B, dim, N) / (B, dim); the caller reduces
     # over batch when the input parameter was shared
     dA = jnp.swapaxes(dA_p, 1, 2)[:, :d, :]
     dD = dD_p[:, 0, :d]
     dbias = dbias_p[:, 0, :d]
     dh0 = jnp.swapaxes(dh0, 1, 2)[:, :d, :]  # -> (B, dim, N)
-    return ddelta, du, dB, dC, dz, dA, dD, dbias, dh0
+    return ddelta, du, dB, dC, dA, dD, dbias, dh0
 
 
 # ---------------------------------------------------------------------------
@@ -535,17 +503,30 @@ def _bwd_call(u, delta, A, B, C, Dskip, z, bias, chunk_states, y_pre, dout,
 @functools.partial(jax.custom_vjp, nondiff_argnums=(9, 10, 11))
 def _selective_scan_core(u, delta, A, B, C, Dskip, z, delta_bias, h0,
                          delta_softplus, chunk, dtile):
-    y, _, last_state, _ = _fwd_call(u, delta, A, B, C, Dskip, z, delta_bias,
-                                    h0, delta_softplus, chunk, dtile,
-                                    save_cs=False)
+    y, _, last_state = _fwd_call(u, delta, A, B, C, Dskip, z, delta_bias,
+                                 h0, delta_softplus, chunk, dtile,
+                                 save_cs=False)
     return y, last_state
 
 
 def _core_fwd(u, delta, A, B, C, Dskip, z, delta_bias, h0, delta_softplus,
               chunk, dtile):
-    y, chunk_states, last_state, y_pre = _fwd_call(
-        u, delta, A, B, C, Dskip, z, delta_bias, h0, delta_softplus, chunk,
-        dtile)
+    # Training path: the silu(z) gating runs OUTSIDE the kernel.  The
+    # kernel then never touches z (fwd saves one gated-y store; the
+    # backward kernel drops the z read, the y_pre read, the dz write and
+    # all the silu math — ~3 HBM arrays/layer), and XLA fuses the gating
+    # with the surrounding elementwise chains (the z slice of xz never
+    # materializes).  The inference primal (`_selective_scan_core`) keeps
+    # in-kernel gating — no y_pre round-trip there.
+    y_pre, chunk_states, last_state = _fwd_call(
+        u, delta, A, B, C, Dskip, None, delta_bias, h0, delta_softplus,
+        chunk, dtile)
+    if z is not None:
+        zf = z.astype(jnp.float32)
+        y = (y_pre.astype(jnp.float32) * (zf * jax.nn.sigmoid(zf))).astype(
+            y_pre.dtype)
+    else:
+        y = y_pre
     return (y, last_state), (u, delta, A, B, C, Dskip, z, delta_bias, h0,
                              chunk_states, y_pre)
 
@@ -553,8 +534,20 @@ def _core_fwd(u, delta, A, B, C, Dskip, z, delta_bias, h0, delta_softplus,
 def _core_bwd(delta_softplus, chunk, dtile, res, cts):
     u, delta, A, B, C, Dskip, z, delta_bias, h0, chunk_states, y_pre = res
     dout, dlast = cts
-    ddelta, du, dB, dC, dz, dA, dD, dbias, dh0 = _bwd_call(
-        u, delta, A, B, C, Dskip, z, delta_bias, chunk_states, y_pre,
+    if z is not None:
+        # gating grads in XLA (fused elementwise); the kernel sees the
+        # pre-gate cotangent and no z at all
+        zf = z.astype(jnp.float32)
+        sig = jax.nn.sigmoid(zf)
+        silu = zf * sig
+        doutf = dout.astype(jnp.float32)
+        dz = (doutf * y_pre.astype(jnp.float32)
+              * (sig + silu * (1.0 - sig))).astype(z.dtype)
+        dout = (doutf * silu).astype(dout.dtype)
+    else:
+        dz = None
+    ddelta, du, dB, dC, dA, dD, dbias, dh0 = _bwd_call(
+        u, delta, A, B, C, Dskip, delta_bias, chunk_states,
         dout, dlast.astype(jnp.float32),
         delta_softplus, chunk, dtile)
     if A.ndim == 2:
