@@ -156,7 +156,39 @@ def main():
     except Exception as e:  # never lose the train metric to the eval add-on
         out["eval_fps_512px_error"] = str(e)[:120]
 
+    try:
+        _bench_loader(out)
+    except Exception as e:
+        out["loader_fps_error"] = str(e)[:120]
+
     print(json.dumps(out))
+
+
+def _bench_loader(out):
+    """Host input-pipeline throughput (PNG decode -> augment -> native C++
+    resize/enhance/EDT -> collate), reported per core — proves the loader
+    keeps the TPU step fed (cli/bench_loader.py is the standalone tool).
+    Disable with BENCH_LOADER=0."""
+    if not int(os.environ.get("BENCH_LOADER", "1")):
+        return
+    import tempfile
+
+    from vivim_tpu.cli.bench_loader import make_synthetic_tree
+    from vivim_tpu.data.dataset import ClipDataset
+
+    with tempfile.TemporaryDirectory(prefix="vivim_bench_loader_") as root:
+        make_synthetic_tree(root, n_videos=2, n_frames=20, size=512)
+        ds = ClipDataset(root, size=IMG, clip_len=CLIP_LEN, augment="medium",
+                         with_edges=True)
+        ds.load_clip(0)  # warm the native lib
+        t0 = time.time()
+        frames = 0
+        for i in range(len(ds)):
+            clip = ds.load_clip(i)
+            frames += clip["clip"].shape[0]
+        dt = time.time() - t0
+    out["loader_frames_per_sec_per_core"] = round(frames / dt, 1)
+    out["host_cpus"] = os.cpu_count() or 1
 
 
 def _bench_eval_512(out, jax, jnp, model, state, compute_dtype, rng):
