@@ -42,3 +42,19 @@ def test_infer_parser():
                        "--image_size", "512", "--clip_length", "5",
                        "--save_vis", "true"])
     assert args.image_size == 512 and args.save_vis is True
+
+
+def test_overlay_merges_frozendict_subtrees():
+    """_overlay must deep-merge Mapping subtrees (flax FrozenDict included),
+    not replace them wholesale (ADVICE r2: a FrozenDict 'encoder' subtree
+    was being dropped instead of merged)."""
+    from flax.core import FrozenDict
+
+    from vivim_tpu.cli.common import _overlay
+
+    base = {"encoder": FrozenDict({"stage0": 1, "mamba": 2}), "head": 3}
+    part = {"encoder": {"stage0": 10}}
+    out = _overlay(base, part)
+    assert out["encoder"]["stage0"] == 10
+    assert out["encoder"]["mamba"] == 2  # preserved, not dropped
+    assert out["head"] == 3

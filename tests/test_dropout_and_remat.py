@@ -20,6 +20,18 @@ def test_fast_keep_mask_statistics_and_actual_keep():
         assert abs(frac - actual) < 0.02
 
 
+def test_fast_keep_mask_tiny_rate_does_not_overflow():
+    """keep in (~0.998, 1): round(keep*256) == 256 no longer overflows uint8
+    (ADVICE r2) — degrades gracefully to keep-everything."""
+    rng = jax.random.PRNGKey(0)
+    mask, actual = fast_keep_mask(rng, 0.999, (16, 16))
+    assert actual == 1.0 and bool(mask.all())
+    x = jnp.ones((8, 8))
+    y = FastDropout(0.001).apply({}, x, False,
+                                 rngs={"dropout": jax.random.PRNGKey(1)})
+    assert (y == x).all()
+
+
 def test_fast_dropout_identity_and_unbiasedness():
     x = jnp.ones((64, 64))
     # deterministic / rate-0 are identity, no rng needed

@@ -91,3 +91,16 @@ def test_edge_band_speed_advantage(lib):
             emap += (dist[1:-1, 1:-1] <= 2).astype(np.uint8)
     scipy_t = time.time() - t0
     assert native_t < scipy_t * 1.5, (native_t, scipy_t)
+
+
+def test_color_enhance_rejects_non_rgb_shape():
+    """Non-(H,W,3) input returns None (PIL fallback) instead of letting the
+    C++ kernel overrun the buffer (ADVICE r2 hardening)."""
+    import numpy as np
+
+    from vivim_tpu import native
+
+    gray = np.zeros((8, 8), np.uint8)
+    assert native.color_enhance(gray, 1.1, 1.0, 1.0, 1.0) is None
+    rgba = np.zeros((8, 8, 4), np.uint8)
+    assert native.color_enhance(rgba, 1.1, 1.0, 1.0, 1.0) is None

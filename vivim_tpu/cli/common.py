@@ -16,12 +16,27 @@ def build_model(args):
            "tiny": sf.mit_tiny_test}[args.segformer]()
     if not getattr(args, "exact_gelu", True):
         seg = dataclasses.replace(seg, gelu_approximate=True)
+    seq_axis, mesh = None, None
+    seq_shards = getattr(args, "seq_shards", 1) or 1
+    if seq_shards > 1:
+        # long-clip sequence parallelism (-seq_shards): Mamba tokens sharded
+        # over a 'seq' mesh axis, scan state carried across devices
+        # (parallel/seq_scan.py).  DP x seq hybrid meshes are not wired yet.
+        if getattr(args, "n_devices", None) and args.n_devices > 1:
+            raise SystemExit(
+                "-seq_shards and -n_devices (data parallel) are mutually "
+                "exclusive for now")
+        from vivim_tpu.parallel.mesh import make_mesh
+        mesh = make_mesh(seq_shards, axis="seq")
+        seq_axis = "seq"
     cfg = VivimConfig(
         out_chans=args.num_classes,
         with_edge=args.with_edge,
         feat_size=seg.hidden_sizes,
         hidden_size=seg.decoder_hidden_size if args.segformer != "b3" else 768,
         segformer=seg,
+        seq_axis=seq_axis,
+        mesh=mesh,
     )
     return Vivim(cfg), cfg
 
@@ -47,10 +62,15 @@ def build_loaders(args, train_root, val_root=None, dynamic=False):
 
 
 def _overlay(base, part):
-    """Deep-merge ``part`` onto ``base`` (dict trees; leaves replaced)."""
+    """Deep-merge ``part`` onto ``base`` (mapping trees; leaves replaced).
+
+    Accepts any Mapping (plain dict or flax FrozenDict) on either side so a
+    frozen params tree never gets a whole subtree silently replaced."""
+    from collections.abc import Mapping
+
     out = dict(base)
     for k, v in part.items():
-        if k in out and isinstance(out[k], dict) and isinstance(v, dict):
+        if k in out and isinstance(out[k], Mapping) and isinstance(v, Mapping):
             out[k] = _overlay(out[k], v)
         else:
             out[k] = v

@@ -120,6 +120,8 @@ def color_enhance(img: np.ndarray, f_bright: float, f_contrast: float,
     lib = get_lib()
     if lib is None:
         return None
+    if img.ndim != 3 or img.shape[2] != 3:
+        return None  # C++ writes h*w*3 bytes unconditionally; let PIL handle it
     img = np.ascontiguousarray(img, np.uint8)
     lib.vivim_color_enhance(img, img.shape[0], img.shape[1],
                             f_bright, f_contrast, f_color, f_sharp)

@@ -35,6 +35,8 @@ def fast_keep_mask(rng, keep: float, shape):
     Returns (mask bool, actual_keep float).
     """
     q = int(round(keep * 256.0))
+    if q >= 256:  # keep so close to 1 that the uint8 grid rounds to "all"
+        return jnp.ones(shape, bool), 1.0
     bits = jax.random.bits(rng, shape, dtype=jnp.uint8)
     return bits < jnp.uint8(q), q / 256.0
 
