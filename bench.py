@@ -82,7 +82,13 @@ def main():
     seg = sf.mit_b3()
     if not int(os.environ.get("BENCH_EXACT_GELU", "0")):
         seg = dataclasses.replace(seg, gelu_approximate=True)
-    cfg = VivimConfig(segformer=seg)  # flagship: MiT-b3, 3-class
+    # BENCH_REMAT=1: recompute the Mamba pre-scan chain in the backward
+    # (CUDA checkpoint_lvl=1 behavior).  Costs ~10% step time at bs=3 but is
+    # REQUIRED for bs >= 16 at 256px: stored activations exceed the 16 GB
+    # HBM (bs=16 OOMs by ~240 MB without it — batch-scaling study, r3).
+    cfg = VivimConfig(segformer=seg,
+                      remat_pre_scan=bool(
+                          int(os.environ.get("BENCH_REMAT", "0"))))
     model = Vivim(cfg)
     rng = jax.random.PRNGKey(0)
     clip = jax.random.normal(rng, (BATCH, CLIP_LEN, IMG, IMG, 3), jnp.float32)
@@ -94,9 +100,13 @@ def main():
     masks = jax.nn.one_hot(labels, 3)
     batch = {"clip": clip, "masks": masks}
 
+    # BENCH_BF16_MU=1: AdamW first moment in bf16 (halves mu HBM traffic;
+    # perf-lever measurement, docs/DESIGN.md round-3)
+    mu_dtype = (jnp.bfloat16 if int(os.environ.get("BENCH_BF16_MU", "0"))
+                else None)
     state, tx = loop_lib.create_train_state(
         model, clip, rng, lr=1e-4, weight_decay=1e-2,
-        total_steps=1000)
+        total_steps=1000, mu_dtype=mu_dtype)
     compute_dtype = jnp.bfloat16 if DTYPE == "bfloat16" else None
     step_fn = loop_lib.make_train_step(model, "recall_focused", 3, tx,
                                        compute_dtype=compute_dtype)
@@ -141,12 +151,35 @@ def main():
         "value": round(clips_per_sec, 3),
         "unit": "clips/sec/chip",
         "vs_baseline": round(clips_per_sec / A100_REFERENCE_CLIPS_PER_SEC, 3),
+        # self-honesty: the denominator is an ESTIMATE, not a measurement —
+        # the reference publishes no numbers (BASELINE.md); ~12 clips/s is
+        # derived from its FLOP count at typical A100 fp16-AMP MFU.
+        "vs_baseline_basis":
+            "ESTIMATED A100 reference ~12 clips/s (reference publishes no "
+            "numbers; see BASELINE.md) - not a measurement",
+        "gelu": ("exact_erf" if int(os.environ.get("BENCH_EXACT_GELU", "0"))
+                 else "tanh_approx (production default; diverges from torch "
+                      "erf at ~1e-3 - restore with BENCH_EXACT_GELU=1 / "
+                      "-exact_gelu true)"),
         "step_ms": round(dt * 1e3, 2),
     }
     if step_flops is not None:
         peak = _peak_tflops()
         out["model_tflops_per_step"] = round(step_flops / 1e12, 3)
         out["mfu"] = round(step_flops / dt / (peak * 1e12), 4)
+
+    # batch-scaling study (round-3): measured clips/s + MFU at bs 3/8/16/32,
+    # recorded by scripts via BENCH_BATCH and checked in at
+    # docs/batch_scaling.json; embedded so the bench artifact carries the
+    # full scaling curve, not just the headline point.
+    try:
+        scaling_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                    "docs", "batch_scaling.json")
+        if os.path.exists(scaling_path):
+            with open(scaling_path) as f:
+                out["batch_scaling"] = json.load(f)
+    except Exception:
+        pass
 
     # 512px eval forward (the reference's inference resolution;
     # inference.py:414-436 FPS accounting).  Uses the deterministic decode
@@ -165,30 +198,28 @@ def main():
 
 
 def _bench_loader(out):
-    """Host input-pipeline throughput (PNG decode -> augment -> native C++
-    resize/enhance/EDT -> collate), reported per core — proves the loader
-    keeps the TPU step fed (cli/bench_loader.py is the standalone tool).
-    Disable with BENCH_LOADER=0."""
+    """Host input-pipeline throughput via the ONE shared harness
+    (cli/bench_loader.measure_loader — same synthetic tree, same production
+    DataLoader as the standalone tool), single worker so the number is a
+    true per-core rate on any host.  The requirement is printed next to the
+    measurement: required = train clips/s * clip_len.  Disable with
+    BENCH_LOADER=0."""
     if not int(os.environ.get("BENCH_LOADER", "1")):
         return
-    import tempfile
+    from vivim_tpu.cli.bench_loader import measure_loader, measure_stages
 
-    from vivim_tpu.cli.bench_loader import make_synthetic_tree
-    from vivim_tpu.data.dataset import ClipDataset
-
-    with tempfile.TemporaryDirectory(prefix="vivim_bench_loader_") as root:
-        make_synthetic_tree(root, n_videos=2, n_frames=20, size=512)
-        ds = ClipDataset(root, size=IMG, clip_len=CLIP_LEN, augment="medium",
-                         with_edges=True)
-        ds.load_clip(0)  # warm the native lib
-        t0 = time.time()
-        frames = 0
-        for i in range(len(ds)):
-            clip = ds.load_clip(i)
-            frames += clip["clip"].shape[0]
-        dt = time.time() - t0
-    out["loader_frames_per_sec_per_core"] = round(frames / dt, 1)
-    out["host_cpus"] = os.cpu_count() or 1
+    res = measure_loader(image_size=IMG, clip_length=CLIP_LEN,
+                         num_workers=1, epochs=1)
+    out["loader_frames_per_sec_per_core"] = res["frames_per_sec"]
+    out["host_cpus"] = res["host_cpus"]
+    out["loader_required_frames_per_sec"] = round(
+        out["value"] * CLIP_LEN, 1)
+    out["loader_cores_needed_at_linear_scaling"] = round(
+        out["loader_required_frames_per_sec"]
+        / max(res["frames_per_sec"], 1e-9), 1)
+    if int(os.environ.get("BENCH_LOADER_STAGES", "0")):
+        out["loader_per_stage"] = measure_stages(
+            image_size=IMG, clip_length=CLIP_LEN)
 
 
 def _bench_eval_512(out, jax, jnp, model, state, compute_dtype, rng):

@@ -1,0 +1,194 @@
+"""Port of the reference kernel test matrix, extended with grouped B/C.
+
+Mirrors /root/reference/mamba/tests/ops/test_selective_scan.py:30-60:
+seqlens spanning non-powers-of-two (372, 784) up to 2048, variable vs
+constant B/C, n_groups in {1, 2}, D/z/delta_bias/softplus toggles, and the
+reference's dtype-scaled tolerances (fp32 rtol 6e-4 / atol 2e-3; bf16
+3e-2 / 5e-2; :45-48), forward AND gradients (:137-151).
+
+Grouped B/C — (batch, L, groups, dstate) here, (batch, groups, dstate, L)
+in the reference (selective_scan.cpp:254-268) — runs through the Pallas
+kernel by folding groups into the batch axis (selective_scan.py).
+
+Complex A (the reference's selective_scan_bwd_*_complex.cu variants) is
+deliberately NOT implemented: Mamba-1 ships with, and Vivim exclusively
+uses, the real S4D initialization (mamba_simple.py:110-117); the complex
+kernels are dead surface for every model in the reference repo.  Decision
+recorded in docs/ROADMAP.md.
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from vivim_tpu.kernels import refs
+from vivim_tpu.kernels.selective_scan import selective_scan, selective_scan_cm
+
+
+def _inputs(rng, b, L, d, n, groups, var_BC, dtype, has_D, has_z, has_bias):
+    u = jnp.asarray(rng.standard_normal((b, L, d)), dtype)
+    delta = jnp.asarray(0.5 * rng.standard_normal((b, L, d)), dtype)
+    A = jnp.asarray(-0.5 - rng.random((d, n)), jnp.float32)
+    if var_BC:
+        shape = (b, L, groups, n) if groups > 1 else (b, L, n)
+        B = jnp.asarray(rng.standard_normal(shape), dtype)
+        C = jnp.asarray(rng.standard_normal(shape), dtype)
+    else:
+        B = jnp.asarray(rng.standard_normal((d, n)), jnp.float32)
+        C = jnp.asarray(rng.standard_normal((d, n)), jnp.float32)
+    D = jnp.asarray(rng.standard_normal(d), jnp.float32) if has_D else None
+    z = jnp.asarray(rng.standard_normal((b, L, d)), dtype) if has_z else None
+    bias = (jnp.asarray(0.1 * rng.standard_normal(d), jnp.float32)
+            if has_bias else None)
+    return u, delta, A, B, C, D, z, bias
+
+
+# the reference parametrizes seqlen [128..4096]; interpret-mode Pallas on
+# the CPU CI box bounds what is tractable — non-powers and a 2048 point
+# keep the shape coverage, the TPU bench covers the long-L regime
+@pytest.mark.parametrize("L", [128, 372, 784])
+@pytest.mark.parametrize("groups", [1, 2])
+def test_matrix_fwd_parity_grouped(L, groups):
+    rng = np.random.default_rng(100 + L + groups)
+    u, delta, A, B, C, D, z, bias = _inputs(
+        rng, 2, L, 8, 4, groups, True, jnp.float32, True, True, True)
+    want, want_last = refs.selective_scan_ref(
+        u, delta, A, B, C, D, z, bias, delta_softplus=True,
+        return_last_state=True)
+    got, got_last = selective_scan(
+        u, delta, A, B, C, D, z, bias, delta_softplus=True,
+        return_last_state=True, chunk=64)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=6e-4, atol=2e-3)
+    np.testing.assert_allclose(np.asarray(got_last), np.asarray(want_last),
+                               rtol=6e-4, atol=2e-3)
+
+
+def test_matrix_fwd_2048():
+    rng = np.random.default_rng(2048)
+    u, delta, A, B, C, D, z, bias = _inputs(
+        rng, 1, 2048, 4, 4, 2, True, jnp.float32, True, False, True)
+    want = refs.selective_scan_ref(u, delta, A, B, C, D, z, bias,
+                                   delta_softplus=True)
+    got = selective_scan(u, delta, A, B, C, D, z, bias, delta_softplus=True,
+                         chunk=256)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=6e-4, atol=2e-3)
+
+
+@pytest.mark.parametrize("groups", [1, 2])
+@pytest.mark.parametrize("has_D,has_z,has_bias,softplus", [
+    (True, True, True, True),
+    (False, False, False, False),
+])
+def test_matrix_toggles_grouped(groups, has_D, has_z, has_bias, softplus):
+    rng = np.random.default_rng(5 + groups)
+    u, delta, A, B, C, D, z, bias = _inputs(
+        rng, 1, 96, 8, 4, groups, True, jnp.float32, has_D, has_z, has_bias)
+    want = refs.selective_scan_ref(
+        u, delta, A, B, C, D, z, bias, delta_softplus=softplus)
+    got = selective_scan(
+        u, delta, A, B, C, D, z, bias, delta_softplus=softplus, chunk=32)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=6e-4, atol=2e-3)
+
+
+def test_matrix_constant_BC():
+    """Constant (dim, dstate) B and C — the reference's non-variable mode
+    (is_variable_B=False).  Served by the sequential reference path."""
+    rng = np.random.default_rng(17)
+    u, delta, A, B, C, D, z, bias = _inputs(
+        rng, 2, 64, 8, 4, 1, False, jnp.float32, True, True, True)
+    got = selective_scan(u, delta, A, B, C, D, z, bias, delta_softplus=True)
+    want = refs.selective_scan_ref(u, delta, A, B, C, D, z, bias,
+                                   delta_softplus=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-5, atol=1e-5)
+
+
+@pytest.mark.parametrize("groups", [2])
+def test_matrix_grad_parity_grouped(groups):
+    """Gradients of every input through the grouped (batch-folded) Pallas
+    path vs autodiff of the sequential reference (the reference's backward
+    matrix, test_selective_scan.py:137-151)."""
+    rng = np.random.default_rng(77)
+    u, delta, A, B, C, D, z, bias = _inputs(
+        rng, 2, 96, 8, 4, groups, True, jnp.float32, True, True, True)
+
+    def loss(fn, args):
+        u, delta, A, B, C, D, z, bias = args
+        out, last = fn(u, delta, A, B, C, D, z, bias, delta_softplus=True,
+                       return_last_state=True)
+        w = jnp.arange(out.size, dtype=jnp.float32).reshape(out.shape)
+        return jnp.sum(out * w) / out.size + jnp.sum(last**2)
+
+    args = (u, delta, A, B, C, D, z, bias)
+    g_ref = jax.grad(lambda *a: loss(refs.selective_scan_ref, a),
+                     argnums=tuple(range(8)))(*args)
+    g_pal = jax.grad(
+        lambda *a: loss(
+            lambda *k, **kw: selective_scan(*k, chunk=32, **kw), a),
+        argnums=tuple(range(8)))(*args)
+    names = ["du", "ddelta", "dA", "dB", "dC", "dD", "dz", "dbias"]
+    for name, gr, gp in zip(names, g_ref, g_pal):
+        np.testing.assert_allclose(np.asarray(gp), np.asarray(gr),
+                                   rtol=1e-3, atol=2e-3,
+                                   err_msg=f"grad mismatch: {name}")
+
+
+def test_matrix_bf16_grouped():
+    rng = np.random.default_rng(23)
+    u, delta, A, B, C, D, z, bias = _inputs(
+        rng, 1, 128, 8, 4, 2, True, jnp.bfloat16, True, True, True)
+    want = refs.selective_scan_ref(u, delta, A, B, C, D, z, bias,
+                                   delta_softplus=True)
+    got = selective_scan(u, delta, A, B, C, D, z, bias, delta_softplus=True,
+                         chunk=64)
+    np.testing.assert_allclose(
+        np.asarray(got, np.float32), np.asarray(want, np.float32),
+        rtol=3e-2, atol=5e-2)
+
+
+def test_matrix_cm_reference_layout_grouped():
+    """The exact-reference-signature wrapper accepts the CUDA layout
+    (batch, groups, dstate, L) for grouped B/C (selective_scan.cpp:254)."""
+    rng = np.random.default_rng(31)
+    b, L, d, n, G = 2, 64, 8, 4, 2
+    u_cm = jnp.asarray(rng.standard_normal((b, d, L)), jnp.float32)
+    delta_cm = jnp.asarray(0.5 * rng.standard_normal((b, d, L)), jnp.float32)
+    A = jnp.asarray(-0.5 - rng.random((d, n)), jnp.float32)
+    B_cm = jnp.asarray(rng.standard_normal((b, G, n, L)), jnp.float32)
+    C_cm = jnp.asarray(rng.standard_normal((b, G, n, L)), jnp.float32)
+    D = jnp.asarray(rng.standard_normal(d), jnp.float32)
+
+    got = selective_scan_cm(u_cm, delta_cm, A, B_cm, C_cm, D,
+                            delta_softplus=True)
+    # time-major ground truth
+    tm = lambda x: jnp.swapaxes(x, 1, 2)
+    want = refs.selective_scan_ref(
+        tm(u_cm), tm(delta_cm), A, B_cm.transpose(0, 3, 1, 2),
+        C_cm.transpose(0, 3, 1, 2), D, delta_softplus=True)
+    np.testing.assert_allclose(np.asarray(tm(got)), np.asarray(want),
+                               rtol=1e-4, atol=1e-4)
+
+
+def test_grouped_ref_semantics_vs_manual():
+    """The grouped reference itself is validated against a hand-rolled
+    per-group composition of the ungrouped reference (independent oracle)."""
+    rng = np.random.default_rng(41)
+    b, L, d, n, G = 2, 48, 8, 4, 2
+    dpg = d // G
+    u, delta, A, B, C, D, z, bias = _inputs(
+        rng, b, L, d, n, G, True, jnp.float32, True, True, True)
+    got = refs.selective_scan_ref(u, delta, A, B, C, D, z, bias,
+                                  delta_softplus=True)
+    outs = []
+    for g in range(G):
+        sl = slice(g * dpg, (g + 1) * dpg)
+        outs.append(refs.selective_scan_ref(
+            u[:, :, sl], delta[:, :, sl], A[sl], B[:, :, g], C[:, :, g],
+            D[sl], z[:, :, sl], bias[sl], delta_softplus=True))
+    want = jnp.concatenate(outs, axis=-1)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-5, atol=1e-5)

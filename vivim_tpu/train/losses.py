@@ -156,8 +156,30 @@ def multiclass_structure_loss(logits, targets, num_classes=None, eps=_EPS):
     return sum(losses) / C
 
 
-def structure_loss(pred, mask, iou=True):
-    """Binary weighted BCE(+IoU) (modeling/utils.py:89-102; eps=1)."""
+def structure_loss(pred, mask, iou=True, legacy_wbce=False):
+    """Binary weighted BCE(+IoU) (modeling/utils.py:89-102; eps=1).
+
+    ``legacy_wbce=True`` reproduces the reference's ACTUAL torch behavior:
+    utils.py:91 passes the string 'none' to the deprecated ``reduce``
+    argument of binary_cross_entropy_with_logits, which torch's legacy
+    shim treats as truthy -> reduction='mean' — so the BCE term collapses
+    to an UNWEIGHTED scalar mean and the PraNet-style boundary weighting
+    applies only to the IoU term (verified empirically on torch 2.13).
+    The default keeps the intended weighted-BCE semantics; the golden
+    cross-framework tests use legacy_wbce=True."""
+    if legacy_wbce:
+        pred = pred.astype(jnp.float32)
+        mask = mask.astype(jnp.float32)
+        weit = 1.0 + 5.0 * jnp.abs(_mean_pool_31(mask) - mask)
+        bce = jnp.mean(jnp.maximum(pred, 0.0) - pred * mask
+                       + jnp.log1p(jnp.exp(-jnp.abs(pred))))
+        if not iou:
+            return bce
+        prob = jax.nn.sigmoid(pred)
+        inter = jnp.sum(prob * mask * weit, axis=(1, 2, 3))
+        union = jnp.sum((prob + mask) * weit, axis=(1, 2, 3))
+        wiou = 1.0 - (inter + 1.0) / (union - inter + 1.0)
+        return jnp.mean(bce + wiou)
     if iou:
         return _weighted_structure(pred, mask, eps=1.0)
     pred = pred.astype(jnp.float32)
