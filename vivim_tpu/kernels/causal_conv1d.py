@@ -48,6 +48,15 @@ def causal_conv1d(x, weight, bias=None, activation=None):
     return out.astype(dtype_in)
 
 
+def causal_conv1d_cm(x, weight, bias=None, activation=None):
+    """Channel-major wrapper with the exact reference signature
+    (causal_conv1d_fn, causal_conv1d_interface.py:14-46): ``x`` is
+    (batch, dim, seqlen) and ``weight`` is (dim, width).  Transposes to the
+    time-major production layout and back."""
+    out = causal_conv1d(jnp.swapaxes(x, 1, 2), weight.T, bias, activation)
+    return jnp.swapaxes(out, 1, 2)
+
+
 def causal_conv1d_update(x, conv_state, weight, bias=None, activation=None):
     """Streaming single-step conv (functional state update).
 
