@@ -23,6 +23,7 @@ train state inside ONE jitted lax.scan, so a single dispatch covers all
 timed steps — per-step wall time is device time, not tunnel/dispatch RTT.
 """
 
+import functools
 import json
 import os
 import sys
@@ -83,12 +84,16 @@ def main():
     if not int(os.environ.get("BENCH_EXACT_GELU", "0")):
         seg = dataclasses.replace(seg, gelu_approximate=True)
     # BENCH_REMAT=1: recompute the Mamba pre-scan chain in the backward
-    # (CUDA checkpoint_lvl=1 behavior).  Costs ~10% step time at bs=3 but is
-    # REQUIRED for bs >= 16 at 256px: stored activations exceed the 16 GB
-    # HBM (bs=16 OOMs by ~240 MB without it — batch-scaling study, r3).
+    # (CUDA checkpoint_lvl=1 behavior).  BENCH_REMAT=2: rematerialize whole
+    # blocks (MambaLayer + SegformerLayer; save only block inputs) — what
+    # bs >= 16 at 256px needs (pre-scan remat alone still exceeds HBM by
+    # ~640 MB at bs=16; batch-scaling study, docs/DESIGN.md r3).
+    remat_level = int(os.environ.get("BENCH_REMAT", "0"))
+    if remat_level >= 2:
+        seg = dataclasses.replace(seg, remat_layers=True)
     cfg = VivimConfig(segformer=seg,
-                      remat_pre_scan=bool(
-                          int(os.environ.get("BENCH_REMAT", "0"))))
+                      remat_pre_scan=remat_level == 1,
+                      remat_blocks=remat_level >= 2)
     model = Vivim(cfg)
     rng = jax.random.PRNGKey(0)
     clip = jax.random.normal(rng, (BATCH, CLIP_LEN, IMG, IMG, 3), jnp.float32)
@@ -116,7 +121,10 @@ def main():
     # (under the tunneled TPU runtime each dispatch costs RTT, and
     # block_until_ready does not synchronize — a device->host VALUE fetch
     # does; the final loss fetch is that sync).
-    @jax.jit
+    # donate the carried train state: without donation XLA double-buffers
+    # params+opt state (~0.9 GB at 60M params) — the margin that decides
+    # whether bs=16 fits in the 16 GB HBM (batch-scaling study, r3)
+    @functools.partial(jax.jit, donate_argnums=0)
     def run_steps(state):
         def body(s, _):
             s, m = step_fn(s, batch)

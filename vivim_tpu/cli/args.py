@@ -79,6 +79,13 @@ def build_train_parser(description="vivim_tpu training"):
     _add(p, "segformer", type=str, default="b3", choices=["b0", "b3", "tiny"])
     _add(p, "exact_gelu", type=str2bool, default=False,
          help="use the exact erf GELU (HF-bit-parity; ~4x slower on TPU)")
+    _add(p, "remat", type=str, default="none",
+         choices=["none", "pre_scan", "blocks"],
+         help="rematerialization level: 'pre_scan' recomputes the Mamba "
+              "pre-scan chain in the backward (CUDA checkpoint_lvl=1; "
+              "~10%% step time); 'blocks' recomputes whole MambaLayer/"
+              "SegformerLayer blocks (needed for train_bs>=16 at 256px "
+              "to fit the 16 GB HBM — batch-scaling study, DESIGN.md)")
     _add(p, "profile_dir", type=str, default=None,
          help="write a jax.profiler trace of the first training steps")
     # Vestigial reference flags (cfg.py:4-42) — accepted for drop-in CLI

@@ -16,6 +16,9 @@ def build_model(args):
            "tiny": sf.mit_tiny_test}[args.segformer]()
     if not getattr(args, "exact_gelu", True):
         seg = dataclasses.replace(seg, gelu_approximate=True)
+    remat = getattr(args, "remat", "none") or "none"
+    if remat == "blocks":
+        seg = dataclasses.replace(seg, remat_layers=True)
     seq_axis, mesh = None, None
     seq_shards = getattr(args, "seq_shards", 1) or 1
     if seq_shards > 1:
@@ -35,6 +38,8 @@ def build_model(args):
         feat_size=seg.hidden_sizes,
         hidden_size=seg.decoder_hidden_size if args.segformer != "b3" else 768,
         segformer=seg,
+        remat_pre_scan=remat == "pre_scan",
+        remat_blocks=remat == "blocks",
         seq_axis=seq_axis,
         mesh=mesh,
     )

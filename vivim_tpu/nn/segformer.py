@@ -45,6 +45,10 @@ class SegformerConfig:
     # exact erf GELU matches HF bit-for-bit but is several times slower on
     # the TPU VPU; the tanh approximation changes activations by ~1e-3
     gelu_approximate: bool = False
+    # rematerialize each transformer layer in the backward (save only the
+    # layer inputs).  Required for bs>=16 at 256px: stored Mix-FFN dwconv
+    # activations alone exceed HBM (batch-scaling study, docs/DESIGN.md r3)
+    remat_layers: bool = False
 
     @property
     def num_stages(self):
@@ -199,8 +203,11 @@ class SegformerStage(nn.Module):
         tokens, H, W = OverlapPatchEmbed(
             cfg.patch_sizes[i], cfg.strides[i], cfg.hidden_sizes[i],
             name="embed")(x)
+        # nn.remat static_argnums count the module instance as argnum 0
+        Layer = (nn.remat(SegformerLayer, static_argnums=(2, 3, 4))
+                 if cfg.remat_layers else SegformerLayer)
         for j in range(cfg.depths[i]):
-            tokens = SegformerLayer(
+            tokens = Layer(
                 cfg.hidden_sizes[i],
                 cfg.num_attention_heads[i],
                 cfg.sr_ratios[i],

@@ -49,6 +49,10 @@ class VivimConfig:
     # recompute the Mamba pre-scan chain in the backward (memory saver;
     # ~10% step-time cost — see kernels/mamba_inner.py)
     remat_pre_scan: bool = False
+    # rematerialize each whole MambaLayer block in the backward (save only
+    # block inputs); combine with segformer.remat_layers for the coarsest
+    # memory profile — what makes bs>=16 at 256px fit in 16 GB HBM
+    remat_blocks: bool = False
     # long-clip mode: shard Mamba tokens over this named mesh axis
     # (sequence-parallel scan; parallel/seq_scan.py)
     seq_axis: str | None = None
@@ -84,8 +88,11 @@ class VivimEncoder(nn.Module):
             dim = seg.hidden_sizes[i]
             dp_rate = cfg.drop_path_rate * i / max(total - 1, 1)
             t5 = tokens.reshape(B, T * Hi * Wi, dim)
+            # nn.remat static_argnums count the module instance as argnum 0
+            Block = (nn.remat(MambaLayer, static_argnums=(2, 3, 4, 5))
+                     if cfg.remat_blocks else MambaLayer)
             for j in range(cfg.depths[i]):
-                t5 = MambaLayer(
+                t5 = Block(
                     dim=dim,
                     drop_path=dp_rate,
                     scan_implementation=cfg.scan_implementation,
