@@ -48,6 +48,19 @@ def test_centered_windows_edge_clamping():
     assert centered_windows(3, 3) == [[0, 0, 1], [0, 1, 2], [1, 2, 2]]
 
 
+def test_centered_windows_even_clip_len_matches_reference():
+    """Even lengths lean one frame FORWARD: the reference's
+    range(-clip_len//2+1, clip_len//2+1) with Python floor division gives
+    offsets [-1..2] at clip_len=4, not the symmetric [-2..1]."""
+    for n, clip_len in ((8, 4), (8, 2), (8, 6)):
+        lo = -clip_len // 2 + 1  # reference expression verbatim
+        hi = clip_len // 2 + 1
+        want = [[min(max(i + ii, 0), n - 1) for ii in range(lo, hi)]
+                for i in range(n)]
+        assert centered_windows(n, clip_len) == want
+    assert centered_windows(8, 4)[3] == [2, 3, 4, 5]
+
+
 def test_polyp_dataset_shapes_and_values(tmp_path):
     root = _make_polyp_tree(str(tmp_path))
     ds = PolypDataset(root, size=32, clip_len=5, augment=True, seed=1)
@@ -77,6 +90,44 @@ def test_polyp_test_dataset_flat_layout(tmp_path):
     assert len(ds) == 12
     out = ds.load_clip(0)
     assert out["clip"].shape == (3, 32, 32, 3)
+
+
+def test_polyp_test_dataset_reference_layout(tmp_path):
+    """SalObjTestDataset layout (data_polyp.py:280-290): video dirs INSIDE
+    Frame ({root}/Frame/{video}/*.jpg), numerically sorted, GT via
+    Frame->GT replacement."""
+    rng = np.random.default_rng(0)
+    root = str(tmp_path / "CVC-Test")
+    for vid in ("2", "10"):  # numeric sort puts 2 before 10
+        fdir = os.path.join(root, "Frame", vid)
+        gdir = os.path.join(root, "GT", vid)
+        os.makedirs(fdir)
+        os.makedirs(gdir)
+        for i in range(4):
+            img = rng.integers(0, 255, (40, 40, 3), np.uint8)
+            Image.fromarray(img).save(os.path.join(fdir, f"{i}.jpg"))
+            m = np.zeros((40, 40), np.uint8)
+            m[8:20, 8:20] = 255
+            Image.fromarray(m).save(os.path.join(gdir, f"{i}.png"))
+    ds = PolypTestDataset(root, size=32, clip_len=3)
+    assert len(ds) == 8  # 2 videos x 4 frames, one clip per frame
+    # numeric video order, and windows never cross video boundaries
+    assert all("Frame/2/" in p.replace(os.sep, "/")
+               for p in ds.samples[0][0])
+    assert all("Frame/10/" in p.replace(os.sep, "/")
+               for p in ds.samples[4][0])
+    # GT paths derived per frame
+    assert ds.samples[0][1][0].replace(os.sep, "/").endswith("GT/2/0.png")
+    out = ds.load_clip(0)
+    assert out["clip"].shape == (3, 32, 32, 3)
+
+
+def test_polyp_test_dataset_empty_on_wrong_root(tmp_path):
+    """A root with none of the accepted layouts yields an explicitly empty
+    dataset (the CLI turns this into a hard error)."""
+    os.makedirs(str(tmp_path / "nothing"))
+    ds = PolypTestDataset(str(tmp_path / "nothing"), size=32, clip_len=3)
+    assert len(ds) == 0
 
 
 def test_polyp_kvasir_sort_is_lexical(tmp_path):

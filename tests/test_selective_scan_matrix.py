@@ -173,6 +173,36 @@ def test_matrix_cm_reference_layout_grouped():
                                rtol=1e-4, atol=1e-4)
 
 
+def test_matrix_mixed_constant_and_grouped():
+    """Constant (dim, dstate) B with grouped 4-D C, and vice versa — the
+    reference's is_variable_B/is_variable_C are independent toggles
+    (selective_scan.cpp:254-268).  The constant side is per-channel, which
+    group->batch folding cannot express, so the dispatch must route to the
+    sequential reference instead of crashing; validated against a
+    hand-rolled per-group composition."""
+    rng = np.random.default_rng(53)
+    b, L, d, n, G = 2, 48, 8, 4, 2
+    dpg = d // G
+    u, delta, A, Bg, Cg, D, z, bias = _inputs(
+        rng, b, L, d, n, G, True, jnp.float32, True, True, True)
+    Bc = jnp.asarray(rng.standard_normal((d, n)), jnp.float32)
+    Cc = jnp.asarray(rng.standard_normal((d, n)), jnp.float32)
+    for Bx, Cx in ((Bc, Cg), (Bg, Cc)):
+        got = selective_scan(u, delta, A, Bx, Cx, D, z, bias,
+                             delta_softplus=True)
+        outs = []
+        for g in range(G):
+            sl = slice(g * dpg, (g + 1) * dpg)
+            Bsl = Bx[sl] if Bx.ndim == 2 else Bx[:, :, g]
+            Csl = Cx[sl] if Cx.ndim == 2 else Cx[:, :, g]
+            outs.append(refs.selective_scan_ref(
+                u[:, :, sl], delta[:, :, sl], A[sl], Bsl, Csl,
+                D[sl], z[:, :, sl], bias[sl], delta_softplus=True))
+        want = jnp.concatenate(outs, axis=-1)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   rtol=1e-5, atol=1e-5)
+
+
 def test_grouped_ref_semantics_vs_manual():
     """The grouped reference itself is validated against a hand-rolled
     per-group composition of the ungrouped reference (independent oracle)."""

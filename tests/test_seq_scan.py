@@ -169,6 +169,187 @@ def test_seq_shard_decision_is_logged(caplog):
     assert any("FALLBACK: L=30" in m for m in msgs)
 
 
+def test_depthwise_conv_grads_on_hybrid_mesh():
+    """Regression: XLA GSPMD (jax 0.9.0) overcounts the KERNEL gradient of
+    a grouped convolution (feature_group_count=C) by exactly the size of
+    each mesh axis the conv does not touch, when its input is batch-sharded
+    on a multi-axis mesh (dense convs and 1-D meshes are unaffected; the
+    forward and the bias grad are correct).  The model therefore computes
+    depthwise convs as unrolled shift-multiply taps
+    (nn/layers.py::unrolled_depthwise_conv) — this test pins both the
+    equivalence and the grad correctness on the hybrid mesh, and starts
+    failing if the lax.conv path is ever restored without checking the
+    upstream bug."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from vivim_tpu.nn.layers import unrolled_depthwise_conv
+    from vivim_tpu.parallel.mesh import make_hybrid_mesh
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 devices")
+    mesh = make_hybrid_mesh(2, 4)
+    rng = np.random.default_rng(0)
+    B, T, H, W, C = 2, 5, 16, 16, 8
+    x = jnp.asarray(rng.standard_normal((B, T * H * W, C)), jnp.float32)
+    k = jnp.asarray(rng.standard_normal((3, 3, 1, C)) * 0.1, jnp.float32)
+    b = jnp.asarray(rng.standard_normal(C) * 0.1, jnp.float32)
+
+    def loss(x, k):
+        x4 = x.reshape(B * T, H, W, C)
+        y = unrolled_depthwise_conv(x4, k, b)
+        return jnp.sum(y * y)
+
+    # unrolled == lax grouped conv (fwd and dkernel), single device
+    y_conv = jax.lax.conv_general_dilated(
+        x.reshape(B * T, H, W, C), k, (1, 1), "SAME",
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        feature_group_count=C) + b
+    np.testing.assert_allclose(
+        np.asarray(unrolled_depthwise_conv(x.reshape(B * T, H, W, C), k, b)),
+        np.asarray(y_conv), rtol=1e-5, atol=1e-5)
+    gk_ref = jax.grad(loss, argnums=1)(x, k)
+
+    # batch-sharded input on the 2-D mesh: dkernel must match unsharded
+    xs = jax.device_put(x, NamedSharding(mesh, P("data", None, None)))
+    gk_h = jax.jit(jax.grad(loss, argnums=1))(xs, k)
+    np.testing.assert_allclose(np.asarray(gk_h), np.asarray(gk_ref),
+                               rtol=1e-4, atol=1e-5)
+
+
+def test_hybrid_mesh_scan_matches_single_device():
+    """Hybrid DP x seq: a 2x4 ("data", "seq") mesh with the batch sharded
+    over 'data' — forward, last state, and input gradients all match the
+    single-device reference."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from vivim_tpu.parallel.mesh import make_hybrid_mesh
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 devices")
+    rng = np.random.default_rng(0)
+    b, L, d, n = 4, 64, 8, 4
+    u = jnp.asarray(rng.standard_normal((b, L, d)), jnp.float32)
+    delta = jnp.asarray(0.5 * rng.standard_normal((b, L, d)), jnp.float32)
+    A = jnp.asarray(-0.5 - rng.random((d, n)), jnp.float32)
+    B = jnp.asarray(rng.standard_normal((b, L, n)), jnp.float32)
+    C = jnp.asarray(rng.standard_normal((b, L, n)), jnp.float32)
+    D = jnp.asarray(rng.standard_normal(d), jnp.float32)
+    z = jnp.asarray(rng.standard_normal((b, L, d)), jnp.float32)
+    bias = jnp.asarray(0.1 * rng.standard_normal(d), jnp.float32)
+
+    mesh = make_hybrid_mesh(2, 4)
+    shard = NamedSharding(mesh, P("data", None, None))
+    us, ds_, Bs, Cs, zs = (jax.device_put(x, shard)
+                           for x in (u, delta, B, C, z))
+
+    @jax.jit
+    def run(u, delta, B, C, z):
+        return seq_sharded_selective_scan(
+            u, delta, A, B, C, D=D, z=z, delta_bias=bias, mesh=mesh,
+            axis_name="seq", implementation="ref")
+
+    y, last = run(us, ds_, Bs, Cs, zs)
+    want, want_last = refs.selective_scan_ref(
+        u, delta, A, B, C, D, z, bias, delta_softplus=True,
+        return_last_state=True)
+    np.testing.assert_allclose(np.asarray(y), np.asarray(want), rtol=1e-4,
+                               atol=1e-4)
+    np.testing.assert_allclose(np.asarray(last), np.asarray(want_last),
+                               rtol=1e-4, atol=1e-4)
+
+    def loss(fn):
+        def f(u, delta, B, C, z):
+            y, last = fn(u, delta, B, C, z)
+            return jnp.sum(y**2) + jnp.sum(last**2)
+        return f
+
+    g_h = jax.jit(jax.grad(loss(run), argnums=(0, 1, 2, 3, 4)))(
+        us, ds_, Bs, Cs, zs)
+    g_r = jax.grad(
+        loss(lambda u, delta, B, C, z: refs.selective_scan_ref(
+            u, delta, A, B, C, D, z, bias, delta_softplus=True,
+            return_last_state=True)),
+        argnums=(0, 1, 2, 3, 4))(u, delta, B, C, z)
+    for name, gh, gr in zip(("du", "ddelta", "dB", "dC", "dz"), g_h, g_r):
+        np.testing.assert_allclose(np.asarray(gh), np.asarray(gr),
+                                   rtol=1e-3, atol=1e-3,
+                                   err_msg=f"hybrid grad mismatch: {name}")
+
+
+def test_hybrid_mesh_train_step_matches_unsharded():
+    """Full Vivim TRAIN step over the hybrid 2x4 ("data", "seq") mesh —
+    params replicated, batch sharded over 'data', Mamba tokens over
+    'seq' — matches the single-device step (the Trainer's exact flow:
+    create_train_state(mesh=...) + shard_batch)."""
+    import dataclasses
+
+    from vivim_tpu.nn.vivim import Vivim, VivimConfig
+    from vivim_tpu.parallel.mesh import make_hybrid_mesh, shard_batch
+    from vivim_tpu.train import loop as loop_lib
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 devices")
+    from vivim_tpu.train import losses as losses_lib
+
+    mesh = make_hybrid_mesh(2, 4)
+    cfg = VivimConfig.tiny_test()
+    cfg_h = dataclasses.replace(cfg, seq_axis="seq", mesh=mesh)
+    rng = jax.random.PRNGKey(0)
+    # stage-0 of a 64px input is 16x16 -> L = 5*16*16 = 1280, 4-divisible
+    clip = jax.random.normal(rng, (2, 5, 64, 64, 3), jnp.float32)
+    labels = jax.random.randint(jax.random.PRNGKey(1), (2, 5, 64, 64), 0, 3)
+    batch = {"clip": clip, "masks": jax.nn.one_hot(labels, 3)}
+    loss_fn = losses_lib.LOSSES["recall_focused"]
+
+    def one_step(model_cfg, mesh_arg):
+        model = Vivim(model_cfg)
+        state, tx = loop_lib.create_train_state(
+            model, clip, jax.random.PRNGKey(2), lr=1e-3, weight_decay=1e-2,
+            total_steps=10, mesh=mesh_arg)
+        step = loop_lib.make_train_step(model, "recall_focused", 3, tx)
+        b = shard_batch(batch, mesh_arg) if mesh_arg is not None else batch
+
+        # per-leaf grads: the strong check — a one-AdamW-step param diff is
+        # per-element scale-invariant (update ~ sign(g)*lr at step 1), so it
+        # cannot see multiplicative grad bugs; this comparison caught the
+        # GSPMD grouped-conv dkernel overcount (see
+        # test_depthwise_conv_grads_on_hybrid_mesh) that loss + params let
+        # through.
+        def pure_loss(params):
+            out, _ = model.apply(
+                {"params": params, "batch_stats": state.batch_stats},
+                b["clip"], deterministic=True, mutable=["batch_stats"])
+            lg, tg = loop_lib.flatten_frames(out, b["masks"])
+            return loss_fn(lg, tg, 3)
+
+        grads = jax.device_get(jax.jit(jax.grad(pure_loss))(state.params))
+        new_state, metrics = step(state, b)
+        return new_state, metrics, grads
+
+    s_ref, m_ref, g_ref = one_step(cfg, None)
+    s_h, m_h, g_h = one_step(cfg_h, mesh)
+    assert float(m_h["loss"]) == pytest.approx(float(m_ref["loss"]),
+                                               rel=1e-4)
+    assert float(m_h["grad_norm"]) == pytest.approx(
+        float(m_ref["grad_norm"]), rel=1e-3)
+    for (path, a), b in zip(jax.tree_util.tree_leaves_with_path(g_ref),
+                            jax.tree_util.tree_leaves(g_h)):
+        # atol covers mathematically-zero grads (e.g. softmax key bias)
+        # whose numeric value is f32 cancellation noise
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=2e-3, atol=1e-6,
+            err_msg=f"hybrid grad mismatch at {jax.tree_util.keystr(path)}")
+    # params after one AdamW step: sanity only.  Zero-grad leaves get
+    # noise-sign updates of magnitude lr*schedule(0) (~1.2e-4 here), so the
+    # atol sits just above one step of update noise; real divergence (a
+    # wrong collective, a missing psum) shows up at the 1e-3+ level.
+    flat_r = jax.tree_util.tree_leaves(s_ref.params)
+    flat_h = jax.tree_util.tree_leaves(s_h.params)
+    for a, b in zip(flat_r, flat_h):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=2e-3,
+                                   atol=3e-4)
+
+
 def test_seq_sharded_train_step_matches_unsharded():
     """Tiny Vivim TRAIN step through the seq-sharded scan: loss, grad norm
     and the updated params match the unsharded step (VERDICT r2 #1 —

@@ -74,8 +74,9 @@ def build_train_parser(description="vivim_tpu training"):
               "mesh axis of this size (sequence-parallel scan; the SSM "
               "analogue of ring attention). Layers whose token count is "
               "not divisible by the shard count fall back to the "
-              "single-device scan (logged once per compile). Mutually "
-              "exclusive with -n_devices data parallelism for now.")
+              "single-device scan (logged once per compile). Combine "
+              "with -n_devices N for a hybrid N x shards ('data', 'seq') "
+              "mesh: batch sharded over 'data', tokens over 'seq'.")
     _add(p, "segformer", type=str, default="b3", choices=["b0", "b3", "tiny"])
     _add(p, "exact_gelu", type=str2bool, default=False,
          help="use the exact erf GELU (HF-bit-parity; ~4x slower on TPU)")

@@ -9,7 +9,14 @@ from vivim_tpu.nn import segformer as sf
 from vivim_tpu.nn.vivim import Vivim, VivimConfig
 
 
-def build_model(args):
+def build_model(args, out_chans=None):
+    """Construct the Vivim model from parsed CLI args.
+
+    The single place where -segformer/-exact_gelu/-remat/-seq_shards
+    reach the config — every training/inference CLI must come through
+    here (hand-rolled VivimConfig construction silently drops those
+    flags).  ``out_chans`` overrides args.num_classes for the binary
+    drivers (train_binary, train_polyp)."""
     import dataclasses
 
     seg = {"b0": sf.mit_b0, "b3": sf.mit_b3,
@@ -24,16 +31,19 @@ def build_model(args):
     if seq_shards > 1:
         # long-clip sequence parallelism (-seq_shards): Mamba tokens sharded
         # over a 'seq' mesh axis, scan state carried across devices
-        # (parallel/seq_scan.py).  DP x seq hybrid meshes are not wired yet.
-        if getattr(args, "n_devices", None) and args.n_devices > 1:
-            raise SystemExit(
-                "-seq_shards and -n_devices (data parallel) are mutually "
-                "exclusive for now")
-        from vivim_tpu.parallel.mesh import make_mesh
-        mesh = make_mesh(seq_shards, axis="seq")
+        # (parallel/seq_scan.py).  Combined with -n_devices > 1 this builds
+        # a hybrid ("data", "seq") mesh: the clip batch shards over 'data',
+        # tokens over 'seq', and the scan island keeps batch shards local.
+        dp = getattr(args, "n_devices", None) or 1
+        if dp > 1:
+            from vivim_tpu.parallel.mesh import make_hybrid_mesh
+            mesh = make_hybrid_mesh(dp, seq_shards)
+        else:
+            from vivim_tpu.parallel.mesh import make_mesh
+            mesh = make_mesh(seq_shards, axis="seq")
         seq_axis = "seq"
     cfg = VivimConfig(
-        out_chans=args.num_classes,
+        out_chans=args.num_classes if out_chans is None else out_chans,
         with_edge=args.with_edge,
         feat_size=seg.hidden_sizes,
         hidden_size=seg.decoder_hidden_size if args.segformer != "b3" else 768,
@@ -44,6 +54,20 @@ def build_model(args):
         mesh=mesh,
     )
     return Vivim(cfg), cfg
+
+
+def trainer_mesh(args, cfg):
+    """Mesh for the training harness (batch sharding + state replication).
+
+    Reuses build_model's hybrid ("data", "seq") mesh when present so the
+    DP sharding and the scan island live on ONE mesh; otherwise a 1-D
+    data mesh from -n_devices, or None (single device / seq-only)."""
+    if cfg.mesh is not None and "data" in cfg.mesh.axis_names:
+        return cfg.mesh
+    if getattr(args, "n_devices", None) and args.n_devices > 1:
+        from vivim_tpu.parallel.mesh import make_mesh
+        return make_mesh(args.n_devices)
+    return None
 
 
 def build_loaders(args, train_root, val_root=None, dynamic=False):

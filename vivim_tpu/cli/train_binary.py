@@ -22,10 +22,13 @@ import jax.numpy as jnp
 import numpy as np
 
 from vivim_tpu.cli.args import build_train_parser, str2bool
+from vivim_tpu.cli.common import (
+    build_model,
+    maybe_load_hf_segformer,
+    maybe_load_pretrained,
+)
 from vivim_tpu.data.dataset import ClipDataset
 from vivim_tpu.data.loader import DataLoader
-from vivim_tpu.nn import segformer as sf
-from vivim_tpu.nn.vivim import Vivim, VivimConfig
 from vivim_tpu.train import binary as B
 from vivim_tpu.train.checkpoints import CheckpointManager
 from vivim_tpu.train.logging import MetricLogger
@@ -41,14 +44,8 @@ def main(argv=None):
     if not args.data_path:
         parser.error("-data_path is required")
 
-    seg = {"b0": sf.mit_b0, "b3": sf.mit_b3,
-           "tiny": sf.mit_tiny_test}[args.segformer]()
-    cfg = VivimConfig(out_chans=1, with_edge=args.with_edge,
-                      feat_size=seg.hidden_sizes,
-                      hidden_size=seg.decoder_hidden_size
-                      if args.segformer != "b3" else 768,
-                      segformer=seg)
-    model = Vivim(cfg)
+    # through the shared builder so -exact_gelu/-remat/-seq_shards apply
+    model, cfg = build_model(args, out_chans=1)
 
     if args.otu:
         from vivim_tpu.data.otu import OTUDataset
@@ -70,6 +67,9 @@ def main(argv=None):
             mask_keys=("background",), invert_background=True,
             seed=args.seed)
         clip_len = args.clip_length
+    if len(train_ds) == 0:
+        raise SystemExit(
+            f"no training samples found under {args.data_path!r}")
     train_dl = DataLoader(train_ds, args.train_bs,
                           num_workers=args.num_workers, seed=args.seed)
     val_dl = DataLoader(val_ds, args.val_bs, shuffle=False,
@@ -90,6 +90,8 @@ def main(argv=None):
                        batch_stats=variables.get("batch_stats", {}),
                        opt_state=tx.init(variables["params"]),
                        rng=jax.random.PRNGKey(args.seed + 1))
+    state = maybe_load_hf_segformer(args, cfg, state)
+    state = maybe_load_pretrained(args, model, state)
     edge_loss_fn = None
     if args.with_edge:
         from vivim_tpu.train.edge_loss import make_joint_edge_seg_loss

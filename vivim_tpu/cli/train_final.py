@@ -47,10 +47,8 @@ def main(argv=None):
         monitor="train/loss", monitor_mode="min", top_k=3, seed=args.seed,
         bf16=args.bf16, decay_mask=args.decay_mask,
         profile_dir=args.profile_dir)
-    mesh = None
-    if args.n_devices and args.n_devices > 1:
-        from vivim_tpu.parallel.mesh import make_mesh
-        mesh = make_mesh(args.n_devices)
+    from vivim_tpu.cli.common import trainer_mesh
+    mesh = trainer_mesh(args, cfg)
     edge_loss_fn = None
     if args.with_edge:
         from vivim_tpu.train.edge_loss import make_multiclass_edge_criterion

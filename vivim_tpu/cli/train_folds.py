@@ -49,10 +49,8 @@ def run_fold(args, fold: int):
         loss=args.loss, monitor="val/dice", monitor_mode="max", top_k=1,
         seed=args.seed + fold, bf16=args.bf16,
         decay_mask=args.decay_mask, profile_dir=args.profile_dir)
-    mesh = None
-    if args.n_devices and args.n_devices > 1:
-        from vivim_tpu.parallel.mesh import make_mesh
-        mesh = make_mesh(args.n_devices)
+    from vivim_tpu.cli.common import trainer_mesh
+    mesh = trainer_mesh(args, cfg)
     trainer = Trainer(model, tcfg, train_dl, val_dl,
                       os.path.join(run_dir, "ckpt"), logger, mesh=mesh,
                       with_edge=args.with_edge,

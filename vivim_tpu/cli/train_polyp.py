@@ -24,10 +24,13 @@ import jax.numpy as jnp
 import numpy as np
 
 from vivim_tpu.cli.args import build_train_parser
+from vivim_tpu.cli.common import (
+    build_model,
+    maybe_load_hf_segformer,
+    maybe_load_pretrained,
+)
 from vivim_tpu.data.loader import DataLoader
 from vivim_tpu.data.polyp import PolypDataset, PolypTestDataset
-from vivim_tpu.nn import segformer as sf
-from vivim_tpu.nn.vivim import Vivim, VivimConfig
 from vivim_tpu.train import binary as B
 from vivim_tpu.train.checkpoints import CheckpointManager
 from vivim_tpu.train.logging import MetricLogger
@@ -43,22 +46,25 @@ def main(argv=None):
     if not args.data_path:
         parser.error("-data_path is required (root holding Train/)")
 
-    seg = {"b0": sf.mit_b0, "b3": sf.mit_b3,
-           "tiny": sf.mit_tiny_test}[args.segformer]()
-    cfg = VivimConfig(out_chans=1, with_edge=args.with_edge,
-                      feat_size=seg.hidden_sizes,
-                      hidden_size=seg.decoder_hidden_size
-                      if args.segformer != "b3" else 768,
-                      segformer=seg)
-    model = Vivim(cfg)
+    # through the shared builder so -exact_gelu/-remat/-seq_shards apply
+    model, cfg = build_model(args, out_chans=1)
 
     train_ds = PolypDataset(args.data_path, args.image_size,
                             clip_len=args.clip_length,
                             augment=args.augment_intensity != "none",
                             seed=args.seed)
+    if len(train_ds) == 0:
+        raise SystemExit(
+            f"no training clips found under {args.data_path!r} — expected "
+            "{root}/Train/{video}/Frame/*.jpg with sibling GT/*.png")
     if args.val_path:
         val_ds = PolypTestDataset(args.val_path, args.image_size,
                                   clip_len=args.clip_length, seed=args.seed)
+        if len(val_ds) == 0:
+            raise SystemExit(
+                f"no validation clips found under {args.val_path!r} — "
+                "accepted layouts: {root}/Frame/{video}/, {root}/Frame/, "
+                "{root}/{video}/Frame/")
     else:
         val_ds = PolypDataset(args.data_path, args.image_size,
                               clip_len=args.clip_length, augment=False,
@@ -83,6 +89,8 @@ def main(argv=None):
                        batch_stats=variables.get("batch_stats", {}),
                        opt_state=tx.init(variables["params"]),
                        rng=jax.random.PRNGKey(args.seed + 1))
+    state = maybe_load_hf_segformer(args, cfg, state)
+    state = maybe_load_pretrained(args, model, state)
     edge_loss_fn = None
     if args.with_edge:
         from vivim_tpu.train.edge_loss import make_joint_edge_seg_loss

@@ -48,9 +48,12 @@ def _sort_frames(names, video: str):
 
 def centered_windows(n_frames: int, clip_len: int):
     """One edge-clamped centered window per frame (data_polyp.py:173-183:
-    ``ii in range(-clip_len//2+1, clip_len//2+1)`` with floor division)."""
-    lo = -(clip_len // 2)
-    hi = clip_len + lo
+    ``ii in range(-clip_len//2+1, clip_len//2+1)``).  Python's floor
+    division makes ``-clip_len//2`` equal -(clip_len+1)//2, so odd lengths
+    center exactly (offsets -2..2 at 5) while even lengths lean one frame
+    FORWARD (offsets -1..2 at 4) — reproduced exactly."""
+    lo = (-clip_len) // 2 + 1
+    hi = clip_len // 2 + 1
     return [[min(max(i + ii, 0), n_frames - 1) for ii in range(lo, hi)]
             for i in range(n_frames)]
 
@@ -102,20 +105,25 @@ class PolypDataset:
         self.seed = seed
         self.epoch = 0
         self.samples = []  # (frame_paths, gt_paths)
-        base = os.path.join(root, self.split_dir)
+        self._scan()
+
+    def _scan(self):
+        base = os.path.join(self.root, self.split_dir)
         for vid in (sorted(os.listdir(base)) if os.path.isdir(base) else ()):
             fdir = os.path.join(base, vid, "Frame")
-            if not os.path.isdir(fdir):
-                continue
-            frames = _sort_frames(
-                [f for f in os.listdir(fdir)
-                 if f.lower().endswith((".jpg", ".jpeg", ".png"))], vid)
-            paths = [os.path.join(fdir, f) for f in frames]
-            gts = [p.replace(f"{os.sep}Frame{os.sep}", f"{os.sep}GT{os.sep}")
-                   .rsplit(".", 1)[0] + ".png" for p in paths]
-            for w in centered_windows(len(paths), clip_len):
-                self.samples.append(([paths[i] for i in w],
-                                     [gts[i] for i in w]))
+            if os.path.isdir(fdir):
+                self._add_video(vid, fdir)
+
+    def _add_video(self, vid: str, fdir: str):
+        frames = _sort_frames(
+            [f for f in os.listdir(fdir)
+             if f.lower().endswith((".jpg", ".jpeg", ".png"))], vid)
+        paths = [os.path.join(fdir, f) for f in frames]
+        gts = [p.replace(f"{os.sep}Frame{os.sep}", f"{os.sep}GT{os.sep}")
+               .rsplit(".", 1)[0] + ".png" for p in paths]
+        for w in centered_windows(len(paths), self.clip_len):
+            self.samples.append(([paths[i] for i in w],
+                                 [gts[i] for i in w]))
 
     def set_epoch(self, epoch: int):
         self.epoch = epoch
@@ -162,32 +170,39 @@ class PolypDataset:
 
 
 class PolypTestDataset(PolypDataset):
-    """Eval dataset over a flat ``{root}/Frame`` tree (SalObjTestDataset,
-    data_polyp.py:277-345): no augmentation, masks and edges still
-    produced for metric computation."""
+    """Eval dataset (SalObjTestDataset, data_polyp.py:277-345): no
+    augmentation, masks and edges still produced for metric computation.
+    Accepted layouts:
 
-    split_dir = ""
+    - ``{root}/Frame/{video}/*.jpg`` — the reference's test layout
+      (CVC-ClinicDB-612-Test; video dirs INSIDE Frame, sorted numerically,
+      data_polyp.py:280-290)
+    - ``{root}/Frame/*.jpg`` — a single flat video
+    - ``{root}/{video}/Frame/*.jpg`` — train-style tree without Train/
+    """
 
     def __init__(self, root, size, clip_len=5, seed=42):
-        super().__init__(os.path.dirname(root.rstrip(os.sep)) or root,
-                         size, clip_len, augment=False, seed=seed)
-        # rebuild over the flat layout: {root}/{video}/Frame or {root}/Frame
-        self.samples = []
-        candidates = []
-        if os.path.isdir(os.path.join(root, "Frame")):
-            candidates.append((os.path.basename(root), root))
-        else:
-            candidates.extend(
-                (v, os.path.join(root, v)) for v in sorted(os.listdir(root))
-                if os.path.isdir(os.path.join(root, v, "Frame")))
-        for vid, vdir in candidates:
-            fdir = os.path.join(vdir, "Frame")
-            frames = _sort_frames(
-                [f for f in os.listdir(fdir)
-                 if f.lower().endswith((".jpg", ".jpeg", ".png"))], vid)
-            paths = [os.path.join(fdir, f) for f in frames]
-            gts = [p.replace(f"{os.sep}Frame{os.sep}", f"{os.sep}GT{os.sep}")
-                   .rsplit(".", 1)[0] + ".png" for p in paths]
-            for w in centered_windows(len(paths), clip_len):
-                self.samples.append(([paths[i] for i in w],
-                                     [gts[i] for i in w]))
+        super().__init__(root, size, clip_len, augment=False, seed=seed)
+
+    def _scan(self):
+        root = self.root
+        fdir = os.path.join(root, "Frame")
+        if os.path.isdir(fdir):
+            vids = [v for v in os.listdir(fdir)
+                    if os.path.isdir(os.path.join(fdir, v))]
+            if vids:
+                # reference layout: videos inside Frame, numeric sort
+                # (data_polyp.py:282 ``sorted(vid_list, key=int)``)
+                try:
+                    vids = sorted(vids, key=int)
+                except ValueError:
+                    vids = sorted(vids)
+                for vid in vids:
+                    self._add_video(vid, os.path.join(fdir, vid))
+            else:
+                self._add_video(os.path.basename(root.rstrip(os.sep)), fdir)
+            return
+        for vid in sorted(os.listdir(root)):
+            vdir = os.path.join(root, vid, "Frame")
+            if os.path.isdir(vdir):
+                self._add_video(vid, vdir)

@@ -591,8 +591,11 @@ def selective_scan(
     """Selective scan, time-major: see ``refs.selective_scan_ref`` for the
     semantic contract.  ``implementation``: "pallas" (default; interpreted
     off-TPU) or "ref" (sequential lax.scan).  Variable (input-dependent)
-    B and C of shape (batch, L, dstate) are required for the Pallas path;
-    constant/grouped B or C falls back to the reference implementation.
+    B and C of shape (batch, L, dstate) run the Pallas path directly;
+    grouped 4-D (batch, L, groups, dstate) B/C also run the Pallas kernel,
+    via group->batch folding (``_grouped_selective_scan``).  Constant
+    (dim, dstate) B or C — including mixed constant+grouped — falls back
+    to the sequential reference implementation.
     ``initial_state``: (batch, dim, dstate) carried scan state (streaming /
     sequence-parallel shards); differentiable.
 
@@ -637,9 +640,19 @@ def selective_scan(
         # THE BATCH AXIS — the scan is independent per channel and the
         # kernel already supports per-batch A/D/bias, so (b, L, d) becomes
         # (b*G, L, d/G) and the same Pallas grid runs unchanged.
-        return _grouped_selective_scan(
+        if B.ndim >= 3 and C.ndim >= 3:
+            return _grouped_selective_scan(
+                u, delta, A, B, C, D, z, delta_bias, delta_softplus,
+                return_last_state, initial_state, implementation, chunk,
+                dtile)
+        # mixed constant + grouped (the reference's is_variable_B/C are
+        # independent toggles): the constant side is a per-CHANNEL
+        # (dim, dstate) matrix, which group->batch folding cannot express
+        # as a per-position B/C — use the sequential reference, which
+        # handles each side independently.
+        return refs.selective_scan_ref(
             u, delta, A, B, C, D, z, delta_bias, delta_softplus,
-            return_last_state, initial_state, implementation, chunk, dtile)
+            return_last_state, initial_state=initial_state)
     if implementation == "ref" or B.ndim != 3 or C.ndim != 3:
         return refs.selective_scan_ref(
             u, delta, A, B, C, D, z, delta_bias, delta_softplus,

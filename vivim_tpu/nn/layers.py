@@ -11,6 +11,7 @@ from typing import Callable
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from flax import linen as nn
 
 
@@ -80,13 +81,46 @@ class DropPath(nn.Module):
         return jnp.where(mask, x / keep, 0.0)
 
 
+def unrolled_depthwise_conv(x, kernel, bias=None):
+    """Depthwise conv (stride 1, SAME) as unrolled shift-multiply taps.
+
+    ``x``: (N, *spatial, C) channels-last; ``kernel``: (*window, 1, C).
+
+    Partition-safe replacement for
+    ``lax.conv_general_dilated(feature_group_count=C)``: on a multi-axis
+    mesh with a batch-sharded operand, XLA GSPMD's grouped-convolution
+    kernel-grad partitioning overcounts d(kernel) by exactly the size of
+    each mesh axis the conv does not use (jax 0.9.0; minimal repro in
+    tests/test_seq_scan.py::test_depthwise_conv_grads_on_hybrid_mesh).
+    Pad/slice/multiply/add partition correctly — and the unrolled form is
+    also how a small depthwise stencil maps onto the TPU VPU (one fused
+    elementwise pass; no im2col).  Taps accumulate in fp32 regardless of
+    input dtype (lax.conv accumulates grouped bf16 convs in fp32 too).
+    """
+    window = kernel.shape[:-2]
+    spatial = x.shape[1:-1]
+    assert len(window) == len(spatial)
+    pads = ([(0, 0)] + [((k - 1) // 2, k // 2) for k in window] + [(0, 0)])
+    xp = jnp.pad(x, pads)
+    out = None
+    for idx in np.ndindex(*window):
+        sl = ((slice(None),)
+              + tuple(slice(i, i + s) for i, s in zip(idx, spatial))
+              + (slice(None),))
+        term = (xp[sl] * kernel[idx + (0,)]).astype(jnp.float32)
+        out = term if out is None else out + term
+    if bias is not None:
+        out = out + bias
+    return out.astype(x.dtype)
+
+
 class DWConv3d(nn.Module):
     """Depthwise 3x3x3 conv over (T, H, W) on token sequences.
 
     The reference's DWConv (vivim.py:57-68) reshapes (B, N, C) tokens to
     (B, C, T, H, W), applies nn.Conv3d(groups=C, k=3, pad=1) and flattens
-    back.  Here tokens stay channels-last (TPU-native) and the conv is a
-    feature-grouped lax conv.
+    back.  Here tokens stay channels-last (TPU-native) and the conv runs
+    as unrolled shift-multiply taps (see ``unrolled_depthwise_conv``).
     """
 
     dim: int
@@ -103,15 +137,7 @@ class DWConv3d(nn.Module):
         )
         bias = self.param("bias", nn.initializers.zeros, (C,))
         xv = x.reshape(B, nframes, H, W, C)
-        y = jax.lax.conv_general_dilated(
-            xv,
-            kernel,
-            window_strides=(1, 1, 1),
-            padding=((1, 1), (1, 1), (1, 1)),
-            dimension_numbers=("NDHWC", "DHWIO", "NDHWC"),
-            feature_group_count=C,
-        )
-        y = y + bias
+        y = unrolled_depthwise_conv(xv, kernel, bias)
         return y.reshape(B, N, C)
 
 

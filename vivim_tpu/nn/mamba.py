@@ -261,14 +261,24 @@ class MambaLayer(nn.Module):
                  deterministic: bool = True):
         """x: (B, L, C) tokens with L = nframes * H * W."""
         if self.seq_axis is not None and self.mesh is not None:
-            n_shards = dict(zip(self.mesh.axis_names,
-                                self.mesh.devices.shape))[self.seq_axis]
+            axis_sizes = dict(zip(self.mesh.axis_names,
+                                  self.mesh.devices.shape))
+            n_shards = axis_sizes[self.seq_axis]
             if x.shape[1] % n_shards == 0:
-                # keep the token axis sharded over seq between blocks
+                # keep the token axis sharded over seq between blocks; on a
+                # hybrid ("data", "seq") mesh the batch dim must keep its
+                # 'data' sharding too — constraining it to None (replicated)
+                # fights the incoming batch sharding, forcing the SPMD
+                # partitioner through its replicate-and-repartition fallback
+                # (measured: wrong depthwise-conv kernel grads, an exact
+                # n_seq_shards-times overcount, besides the perf hit)
+                batch_axis = next(
+                    (a for a in self.mesh.axis_names if a != self.seq_axis
+                     and x.shape[0] % axis_sizes[a] == 0), None)
                 x = jax.lax.with_sharding_constraint(
                     x, jax.sharding.NamedSharding(
                         self.mesh, jax.sharding.PartitionSpec(
-                            None, self.seq_axis, None)))
+                            batch_axis, self.seq_axis, None)))
         mamba = MambaV3(
             d_model=self.dim,
             d_state=self.d_state,

@@ -22,7 +22,7 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
-from vivim_tpu.nn.layers import DropPath
+from vivim_tpu.nn.layers import DropPath, unrolled_depthwise_conv
 
 
 @dataclasses.dataclass(frozen=True)
@@ -132,6 +132,24 @@ class EfficientSelfAttention(nn.Module):
         return out
 
 
+class DepthwiseConv2d(nn.Module):
+    """3x3 depthwise conv, parameter-compatible with flax ``nn.Conv``
+    (kernel (3, 3, 1, C), bias (C,), lecun-normal init) but computed as
+    unrolled shift-multiply taps — see
+    ``vivim_tpu.nn.layers.unrolled_depthwise_conv`` for why grouped
+    ``lax.conv`` is avoided (GSPMD kernel-grad overcount on multi-axis
+    meshes)."""
+
+    features: int
+
+    @nn.compact
+    def __call__(self, x):
+        kernel = self.param("kernel", nn.initializers.lecun_normal(),
+                            (3, 3, 1, self.features))
+        bias = self.param("bias", nn.initializers.zeros, (self.features,))
+        return unrolled_depthwise_conv(x, kernel, bias)
+
+
 class MixFFN(nn.Module):
     """dense1 -> 3x3 depthwise conv -> GELU -> dense2 with dropout."""
 
@@ -145,8 +163,7 @@ class MixFFN(nn.Module):
         B, L, C = x.shape
         x = nn.Dense(self.mlp_hidden, name="dense1")(x)
         xs = x.reshape(B, H, W, self.mlp_hidden)
-        xs = nn.Conv(self.mlp_hidden, (3, 3), padding=((1, 1), (1, 1)),
-                     feature_group_count=self.mlp_hidden, name="dwconv")(xs)
+        xs = DepthwiseConv2d(self.mlp_hidden, name="dwconv")(xs)
         x = xs.reshape(B, L, self.mlp_hidden)
         x = nn.gelu(x, approximate=self.gelu_approximate)
         x = nn.Dropout(self.hidden_dropout, deterministic=deterministic)(x)

@@ -24,6 +24,21 @@ def make_mesh(n_devices: int | None = None, axis: str = "data",
     return Mesh(np.array(devices), (axis,))
 
 
+def make_hybrid_mesh(dp: int, seq: int, devices=None) -> Mesh:
+    """2-D ("data", "seq") mesh for hybrid data x sequence parallelism:
+    the clip batch shards over 'data' (dp rows), Mamba tokens over 'seq'
+    (seq columns; parallel/seq_scan.py).  Adjacent devices land in the
+    same 'seq' row so the scan-state ring rides the fastest ICI links."""
+    if devices is None:
+        devices = jax.devices()
+    if len(devices) < dp * seq:
+        raise ValueError(
+            f"hybrid mesh needs {dp}x{seq}={dp * seq} devices, "
+            f"have {len(devices)}")
+    return Mesh(np.array(devices[:dp * seq]).reshape(dp, seq),
+                ("data", "seq"))
+
+
 def data_sharding(mesh: Mesh, axis: str = "data") -> NamedSharding:
     """Shard the leading (batch) dimension across the data axis."""
     return NamedSharding(mesh, P(axis))

@@ -91,21 +91,41 @@ def seq_sharded_selective_scan(
     mesh: Mesh | None = None, axis_name: str = "seq", implementation=None,
 ):
     """shard_map wrapper: shards the L axis of u/delta/B/C/z over
-    ``axis_name`` and returns the full (gathered) outputs."""
+    ``axis_name`` and returns the full (gathered) outputs.
+
+    Hybrid DP x seq: if ``mesh`` carries a second axis (e.g.
+    ``Mesh(devices.reshape(dp, seq), ("data", "seq"))``), the batch
+    dimension is sharded over it inside the island too, so data-parallel
+    batch shards stay local instead of being all-gathered at the island
+    boundary.  The 'seq' collectives are unaffected — each data row of the
+    mesh carries its own scan state ring.
+    """
     try:
         from jax import shard_map
     except ImportError:  # older jax
         from jax.experimental.shard_map import shard_map
 
-    seq_spec = P(None, axis_name, None)
+    # any other mesh axis shards the batch dim (hybrid DP x seq);
+    # 1-D seq-only meshes leave it None (= replicated)
+    batch_axis = next((a for a in (mesh.axis_names if mesh is not None else ())
+                       if a != axis_name), None)
+    seq_spec = P(batch_axis, axis_name, None)
     rep = P()
+    # per-batch parameter forms (tri-directional stacks) follow the batch
+    # sharding; shared forms are replicated
+    a_spec = P(batch_axis, None, None) if A.ndim == 3 else rep
+    d_spec = (P(batch_axis, None) if (D is not None and D.ndim == 2) else rep)
+    bias_spec = (P(batch_axis, None)
+                 if (delta_bias is not None and delta_bias.ndim == 2) else rep)
+    last_spec = P(batch_axis, None, None)
     body = functools.partial(
         seq_sharded_selective_scan_local, axis_name=axis_name,
         implementation=implementation)
 
     # optional args (shard_map specs cannot describe None): pass only the
     # present ones and rebuild the keyword set inside
-    opt = [("D", D, rep), ("z", z, seq_spec), ("delta_bias", delta_bias, rep)]
+    opt = [("D", D, d_spec), ("z", z, seq_spec),
+           ("delta_bias", delta_bias, bias_spec)]
     present = [(name, val, spec) for name, val, spec in opt if val is not None]
     names = [name for name, _, _ in present]
 
@@ -121,11 +141,11 @@ def seq_sharded_selective_scan(
         kw["check_rep"] = False
     elif "check_vma" in sig.parameters:
         kw["check_vma"] = False
-    in_specs = (seq_spec, seq_spec, rep, seq_spec, seq_spec,
+    in_specs = (seq_spec, seq_spec, a_spec, seq_spec, seq_spec,
                 *(spec for _, _, spec in present))
     return shard_map(
         wrapped, mesh=mesh,
         in_specs=in_specs,
-        out_specs=(seq_spec, rep),
+        out_specs=(seq_spec, last_spec),
         **kw,
     )(u, delta, A, B, C, *(val for _, val, _ in present))
