@@ -23,10 +23,15 @@ class MambaEvalCore:
 
     ``tokenizer`` needs ``encode(str) -> list[int]`` and
     ``decode(list[int]) -> str`` (HF tokenizers qualify).
+
+    ``tp_shards > 1`` scores through the tensor-parallel forward
+    (``parallel.tensor_parallel.lm_tp_forward``) over a 1-D ``model`` mesh —
+    for LMs too large for one chip.  Decode (``generate_until``) stays
+    single-device (the per-token decode is bandwidth-bound and tiny).
     """
 
     def __init__(self, model, params, tokenizer, max_gen_toks=128,
-                 eot_token_id=None):
+                 eot_token_id=None, tp_shards=1):
         import jax
 
         self.model = model
@@ -36,7 +41,16 @@ class MambaEvalCore:
         self.eot_token_id = (
             eot_token_id if eot_token_id is not None
             else getattr(tokenizer, "eos_token_id", None) or 0)
-        self._fwd = jax.jit(lambda toks: model.apply(params, toks))
+        if tp_shards > 1:
+            from vivim_tpu.parallel.mesh import make_mesh
+            from vivim_tpu.parallel.tensor_parallel import lm_tp_forward
+
+            mesh = make_mesh(tp_shards, axis="model")
+            self._fwd = jax.jit(lambda toks: lm_tp_forward(
+                model.cfg, params, toks, mesh,
+                implementation=model.scan_implementation))
+        else:
+            self._fwd = jax.jit(lambda toks: model.apply(params, toks))
 
     def _score(self, ctx_ids, cont_ids):
         """Sum of log p(cont | ctx) and whether cont is the greedy argmax."""
@@ -161,6 +175,10 @@ def main(argv=None):
     p.add_argument("--d_model", type=int, default=768)
     p.add_argument("--n_layer", type=int, default=24)
     p.add_argument("--max_gen_toks", type=int, default=128)
+    p.add_argument("--tp_shards", type=int, default=1,
+                   help="tensor-parallel shards for scoring (Megatron "
+                        "column/row split of every mixer over a 'model' "
+                        "mesh axis)")
     p.add_argument("--limit", type=int, default=None,
                    help="cap examples per task (smoke runs)")
     args = p.parse_args(argv)
@@ -179,7 +197,8 @@ def main(argv=None):
     model, params = load_lm(args.ckpt, args.vocab, args.d_model,
                             args.n_layer)
     wrapper = build_wrapper(model, params, tokenizer,
-                            max_gen_toks=args.max_gen_toks)
+                            max_gen_toks=args.max_gen_toks,
+                            tp_shards=args.tp_shards)
     results = lm_eval.simple_evaluate(
         model=wrapper, tasks=args.tasks.split(","), limit=args.limit)
     print(json.dumps(results.get("results", results), indent=2,
