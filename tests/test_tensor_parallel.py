@@ -90,6 +90,31 @@ def test_tp_lm_grads_match():
             rtol=2e-4, err_msg=f"grad mismatch at {jax.tree_util.keystr(kp)}")
 
 
+def test_tp_generate_matches_unsharded():
+    """TP decode (prefill + scan token loop inside the shard_map island,
+    sharded conv/ssm cache) emits the same greedy tokens as single-device
+    generate, and the same samples at temperature > 0 (replicated rng)."""
+    import functools
+
+    from vivim_tpu.nn import streaming
+    from vivim_tpu.nn.lm import generate
+    from vivim_tpu.parallel.tensor_parallel import tp_generate
+
+    cfg, model, variables, tokens = _lm_setup(B=2, L=8)
+    mesh = make_mesh(8, axis="model")
+    ref_prefill = functools.partial(streaming.mamba_prefill,
+                                    implementation="ref")
+    for kwargs in ({"temperature": 0.0, "eos_token_id": 1},
+                   {"temperature": 0.8, "top_k": 5}):
+        want = generate(model, variables, tokens, 6,
+                        rng=jax.random.PRNGKey(3),
+                        mixer_prefill=ref_prefill, **kwargs)
+        got = tp_generate(model, variables, tokens, 6, mesh,
+                          rng=jax.random.PRNGKey(3),
+                          implementation="ref", **kwargs)
+        np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+
 def test_eval_core_tp_scoring_matches():
     """The lm_eval adapter's --tp_shards path scores identically to the
     single-device forward."""

@@ -24,10 +24,11 @@ class MambaEvalCore:
     ``tokenizer`` needs ``encode(str) -> list[int]`` and
     ``decode(list[int]) -> str`` (HF tokenizers qualify).
 
-    ``tp_shards > 1`` scores through the tensor-parallel forward
-    (``parallel.tensor_parallel.lm_tp_forward``) over a 1-D ``model`` mesh —
-    for LMs too large for one chip.  Decode (``generate_until``) stays
-    single-device (the per-token decode is bandwidth-bound and tiny).
+    ``tp_shards > 1`` runs everything tensor-parallel over a 1-D ``model``
+    mesh — scoring through ``parallel.tensor_parallel.lm_tp_forward`` and
+    decode through ``tp_generate`` (the conv/ssm decode cache lives
+    sharded, 1/k of the cache HBM per device) — for LMs too large for one
+    chip.
     """
 
     def __init__(self, model, params, tokenizer, max_gen_toks=128,
@@ -41,11 +42,13 @@ class MambaEvalCore:
         self.eot_token_id = (
             eot_token_id if eot_token_id is not None
             else getattr(tokenizer, "eos_token_id", None) or 0)
+        self._tp_mesh = None
         if tp_shards > 1:
             from vivim_tpu.parallel.mesh import make_mesh
             from vivim_tpu.parallel.tensor_parallel import lm_tp_forward
 
-            mesh = make_mesh(tp_shards, axis="model")
+            self._tp_mesh = make_mesh(tp_shards, axis="model")
+            mesh = self._tp_mesh
             self._fwd = jax.jit(lambda toks: lm_tp_forward(
                 model.cfg, params, toks, mesh,
                 implementation=model.scan_implementation))
@@ -91,10 +94,19 @@ class MambaEvalCore:
         ctx_ids = self.tokenizer.encode(ctx) if ctx else [self.eot_token_id]
         toks = jnp.asarray([ctx_ids], jnp.int32)
         n_new = max_gen_toks or self.max_gen_toks
-        out = lm_lib.generate(
-            self.model, self.params, toks, n_new,
-            rng=jax.random.PRNGKey(0), temperature=0.0,
-            eos_token_id=self.eot_token_id)
+        if self._tp_mesh is not None:
+            from vivim_tpu.parallel.tensor_parallel import tp_generate
+
+            out = tp_generate(
+                self.model, self.params, toks, n_new, self._tp_mesh,
+                rng=jax.random.PRNGKey(0), temperature=0.0,
+                eos_token_id=self.eot_token_id,
+                implementation=self.model.scan_implementation)
+        else:
+            out = lm_lib.generate(
+                self.model, self.params, toks, n_new,
+                rng=jax.random.PRNGKey(0), temperature=0.0,
+                eos_token_id=self.eot_token_id)
         new_ids = [int(t) for t in out[0, len(ctx_ids):]]
         if self.eot_token_id in new_ids:
             new_ids = new_ids[:new_ids.index(self.eot_token_id)]

@@ -108,14 +108,23 @@ def _sample_logits(rng, logits, temperature, top_k, top_p):
 
 
 def generate(model: MambaLM, params, tokens, max_new_tokens, rng=None,
-             temperature=1.0, top_k=0, top_p=1.0, eos_token_id=None):
+             temperature=1.0, top_k=0, top_p=1.0, eos_token_id=None,
+             mixer_prefill=None, mixer_step=None):
     """Prefill + jitted scan decode.
 
     Args: tokens (B, L0) prompt.  Returns (B, L0 + max_new_tokens) tokens.
+
+    ``mixer_prefill`` / ``mixer_step`` override the per-mixer prefill and
+    decode-step functions (default: ``streaming.mamba_prefill`` /
+    ``streaming.mamba_step``) — the hook the tensor-parallel decode uses
+    to run this same loop with sharded mixers
+    (``parallel.tensor_parallel.tp_generate``).
     """
     cfg = model.cfg
     rng = rng if rng is not None else jax.random.PRNGKey(0)
     p = params["params"] if "params" in params else params
+    mixer_prefill = mixer_prefill or streaming.mamba_prefill
+    mixer_step = mixer_step or streaming.mamba_step
 
     emb = p["embedding"]
 
@@ -134,7 +143,7 @@ def generate(model: MambaLM, params, tokens, max_new_tokens, rng=None,
     for i in range(cfg.n_layer):
         mp, np_ = layer_params(i)
         res = h
-        out, cs, ss = streaming.mamba_prefill(mp, apply_norm(np_, h))
+        out, cs, ss = mixer_prefill(mp, apply_norm(np_, h))
         h = res + out
         conv_states.append(cs)
         ssm_states.append(ss)
@@ -155,7 +164,7 @@ def generate(model: MambaLM, params, tokens, max_new_tokens, rng=None,
         for i in range(cfg.n_layer):
             mp, np_ = layer_params(i)
             res = h
-            out, cs, ss = streaming.mamba_step(
+            out, cs, ss = mixer_step(
                 mp, apply_norm(np_, h), conv_states[i], ssm_states[i])
             h = res + out
             new_cs.append(cs)

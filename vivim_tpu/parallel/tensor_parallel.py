@@ -135,6 +135,130 @@ def tp_mamba_mixer(params, x, mesh: Mesh, axis_name: str = "model",
       params["D"], params["out_proj_kernel"])
 
 
+def _tp_in_proj(mp, x):
+    """Column-parallel in_proj from the pre-split x/z kernel slices."""
+    xw = x @ mp["in_proj_x"].T.astype(x.dtype)
+    z = x @ mp["in_proj_z"].T.astype(x.dtype)
+    return xw, z
+
+
+def tp_mixer_prefill(mp, x, *, axis_name, implementation=None):
+    """TP twin of ``nn.streaming.mamba_prefill``: local channel slice,
+    psum'd dt/B/C and output; emitted conv/ssm states are the LOCAL shard
+    (consumed only by ``tp_mixer_step`` inside the same island)."""
+    xw, z = _tp_in_proj(mp, x)
+    conv_w = mp["conv1d_kernel"]
+    width = conv_w.shape[0]
+    pad = jnp.pad(xw, ((0, 0), (max(width - x.shape[1], 0), 0), (0, 0)))
+    conv_state = pad[:, -width:, :]
+    xc = causal_conv1d(xw, conv_w, mp.get("conv1d_bias"), "silu")
+    x_dbl = jnp.einsum("bld,rd->blr", xc, mp["x_proj_kernel"])
+    x_dbl = jax.lax.psum(x_dbl, axis_name)
+    dt_rank = mp["dt_proj_kernel"].shape[1]
+    n = mp["A_log"].shape[1]
+    delta = jnp.einsum("blr,dr->bld", x_dbl[..., :dt_rank],
+                       mp["dt_proj_kernel"])
+    Bv = x_dbl[..., dt_rank:dt_rank + n]
+    Cv = x_dbl[..., dt_rank + n:]
+    y, ssm_state = selective_scan(
+        xc, delta, -jnp.exp(mp["A_log"].astype(jnp.float32)), Bv, Cv,
+        D=mp["D"].astype(jnp.float32), z=z,
+        delta_bias=mp["dt_proj_bias"].astype(jnp.float32),
+        delta_softplus=True, return_last_state=True,
+        implementation=implementation)
+    out = jnp.einsum("bld,od->blo", y, mp["out_proj_kernel"].astype(y.dtype))
+    return jax.lax.psum(out, axis_name), conv_state, ssm_state
+
+
+def tp_mixer_step(mp, x, conv_state, ssm_state, *, axis_name):
+    """TP twin of ``nn.streaming.mamba_step`` over local channel shards."""
+    from vivim_tpu.kernels.causal_conv1d import causal_conv1d_update
+    from vivim_tpu.kernels.refs import selective_state_update_ref
+
+    xw, z = _tp_in_proj(mp, x)
+    xw, conv_state = causal_conv1d_update(
+        xw, conv_state, mp["conv1d_kernel"], mp.get("conv1d_bias"), "silu")
+    x_dbl = jax.lax.psum(xw @ mp["x_proj_kernel"].T, axis_name)
+    dt_rank = mp["dt_proj_kernel"].shape[1]
+    n = mp["A_log"].shape[1]
+    dt = x_dbl[..., :dt_rank] @ mp["dt_proj_kernel"].T
+    Bv = x_dbl[..., dt_rank:dt_rank + n]
+    Cv = x_dbl[..., dt_rank + n:]
+    y, ssm_state = selective_state_update_ref(
+        ssm_state, xw, dt, -jnp.exp(mp["A_log"].astype(jnp.float32)),
+        Bv, Cv, D=mp["D"].astype(jnp.float32), z=z,
+        dt_bias=mp["dt_proj_bias"].astype(jnp.float32), dt_softplus=True)
+    out = y @ mp["out_proj_kernel"].T.astype(y.dtype)
+    return jax.lax.psum(out, axis_name), conv_state, ssm_state
+
+
+def _split_tp_param_tree(p, axis_name):
+    """Params tree with each mixer's fused in_proj split into x/z halves,
+    plus the matching shard_map spec tree (mixer leaves channel-sharded,
+    everything else replicated)."""
+    mixer_specs = {
+        "in_proj_x": P(axis_name, None), "in_proj_z": P(axis_name, None),
+        "conv1d_kernel": P(None, axis_name), "conv1d_bias": P(axis_name),
+        "x_proj_kernel": P(None, axis_name),
+        "dt_proj_kernel": P(axis_name, None), "dt_proj_bias": P(axis_name),
+        "A_log": P(axis_name, None), "D": P(axis_name),
+        "out_proj_kernel": P(None, axis_name),
+    }
+    tree = {k: dict(v) if hasattr(v, "keys") else v for k, v in p.items()}
+    specs = {}
+    for k, v in tree.items():
+        if k.startswith("mixer_"):
+            ip = v.pop("in_proj_kernel")
+            d_inner = v["A_log"].shape[0]
+            v["in_proj_x"], v["in_proj_z"] = ip[:d_inner], ip[d_inner:]
+            specs[k] = {name: mixer_specs[name] for name in v}
+        else:
+            specs[k] = jax.tree_util.tree_map(lambda _: P(), v)
+    return tree, specs
+
+
+def tp_generate(model, params, tokens, max_new_tokens, mesh: Mesh,
+                axis_name: str = "model", rng=None, temperature=1.0,
+                top_k=0, top_p=1.0, eos_token_id=None, implementation=None):
+    """Tensor-parallel decode: ``nn.lm.generate``'s prefill + lax.scan
+    token loop running inside ONE shard_map island with every mixer
+    channel-sharded over ``axis_name``.
+
+    The carried (conv_state, ssm_state) decode cache lives sharded on the
+    island's devices for the whole generation — 1/k of the cache HBM per
+    device, two tiny psums per layer per token.  Sampling is bitwise
+    identical on every shard (replicated rng + psum'd logits), so the
+    emitted tokens are replicated.  Same signature semantics as
+    ``generate``; returns (B, L0 + max_new_tokens) tokens.
+    """
+    import functools
+
+    from vivim_tpu.nn import lm as lm_lib
+
+    d_inner = model.cfg.expand * model.cfg.d_model
+    k = dict(zip(mesh.axis_names, mesh.devices.shape))[axis_name]
+    if d_inner % k:
+        raise ValueError(f"d_inner {d_inner} not divisible by "
+                         f"{axis_name} axis size {k}")
+    p = params["params"] if "params" in params else params
+    rng = rng if rng is not None else jax.random.PRNGKey(0)
+    tree, specs = _split_tp_param_tree(p, axis_name)
+
+    prefill = functools.partial(tp_mixer_prefill, axis_name=axis_name,
+                                implementation=implementation)
+    step = functools.partial(tp_mixer_step, axis_name=axis_name)
+
+    def island(p_local, toks, key):
+        return lm_lib.generate(
+            model, {"params": p_local}, toks, max_new_tokens, rng=key,
+            temperature=temperature, top_k=top_k, top_p=top_p,
+            eos_token_id=eos_token_id, mixer_prefill=prefill,
+            mixer_step=step)
+
+    return _shard_map(island, mesh, (specs, P(), P()), P())(
+        tree, tokens, rng)
+
+
 def _layer_norm(np_, h, eps=1e-6):
     mean = h.mean(-1, keepdims=True)
     var = ((h - mean) ** 2).mean(-1, keepdims=True)
