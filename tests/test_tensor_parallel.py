@@ -138,6 +138,19 @@ def test_eval_core_tp_scoring_matches():
     assert greedy1 == greedy8
 
 
+def test_bench_generation_tp_smoke(capsys):
+    """--tp_shards on the generation bench runs end-to-end and reports."""
+    import json
+
+    from vivim_tpu.cli.bench_generation import main
+
+    main(["--vocab", "64", "--d_model", "32", "--n_layer", "1",
+          "--promptlen", "4", "--genlen", "2", "--repeats", "1",
+          "--topk", "1", "--tp_shards", "8"])
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["gen_len"] == 2 and out["tokens_per_sec"] > 0
+
+
 def test_tp_hybrid_data_model_mesh():
     """DP x TP on one 2-D ("data", "model") mesh: batch-sharded tokens,
     channel-sharded mixer, output matches unsharded."""

@@ -29,6 +29,9 @@ def main(argv=None):
     p.add_argument("--topk", type=int, default=1)
     p.add_argument("--topp", type=float, default=1.0)
     p.add_argument("--repeats", type=int, default=3)
+    p.add_argument("--tp_shards", type=int, default=1,
+                   help="tensor-parallel decode over a 'model' mesh axis "
+                        "(sharded conv/ssm cache; parallel/tensor_parallel)")
     args = p.parse_args(argv)
 
     import jax
@@ -42,9 +45,19 @@ def main(argv=None):
     tokens = jnp.ones((args.batch, args.promptlen), jnp.int32)
     variables = jax.jit(model.init)(jax.random.PRNGKey(0), tokens)
 
-    gen = jax.jit(lambda params, toks: generate(
-        model, params, toks, args.genlen, rng=jax.random.PRNGKey(1),
-        temperature=args.temperature, top_k=args.topk, top_p=args.topp))
+    if args.tp_shards > 1:
+        from vivim_tpu.parallel.mesh import make_mesh
+        from vivim_tpu.parallel.tensor_parallel import tp_generate
+
+        mesh = make_mesh(args.tp_shards, axis="model")
+        gen = jax.jit(lambda params, toks: tp_generate(
+            model, params, toks, args.genlen, mesh,
+            rng=jax.random.PRNGKey(1), temperature=args.temperature,
+            top_k=args.topk, top_p=args.topp))
+    else:
+        gen = jax.jit(lambda params, toks: generate(
+            model, params, toks, args.genlen, rng=jax.random.PRNGKey(1),
+            temperature=args.temperature, top_k=args.topk, top_p=args.topp))
     out = gen(variables, tokens)  # compile
     out.block_until_ready()
     t0 = time.time()
