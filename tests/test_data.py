@@ -206,3 +206,50 @@ def test_load_clip_native_matches_pil_fallback(tmp_path):
     np.testing.assert_allclose(with_native["clip"], fallback["clip"],
                                atol=3e-2)
     np.testing.assert_array_equal(with_native["masks"], fallback["masks"])
+
+
+def test_loader_multihost_shards_tile_the_global_batch(tmp_path):
+    """DataLoader(process_index, process_count) host shards, interleaved
+    back together, are bit-identical to the single-host loader (global
+    order and per-sample augmentation RNG are host-independent)."""
+    root = make_gathered_tree(str(tmp_path / "t"), n_videos=2, n_frames=18)
+    def mk(pi, pc):
+        ds = ClipDataset(root, size=16, clip_len=3, augment="medium", seed=1)
+        return DataLoader(ds, batch_size=4, num_workers=0, seed=5,
+                          process_index=pi, process_count=pc)
+    global_batches = list(mk(0, 1))
+    host_batches = [list(mk(pi, 2)) for pi in range(2)]
+    assert len(global_batches) == len(host_batches[0]) == len(host_batches[1])
+    for g, h0, h1 in zip(global_batches, *host_batches):
+        assert h0["clip"].shape[0] == h1["clip"].shape[0] == 2
+        for key in ("clip", "masks", "edges"):
+            # global batch order is bidx; host p took bidx[p::2]
+            re = np.empty_like(g[key])
+            re[0::2], re[1::2] = h0[key], h1[key]
+            np.testing.assert_array_equal(re, g[key])
+
+
+def test_loader_multihost_validation(tmp_path):
+    root = make_gathered_tree(str(tmp_path / "t"), n_videos=1, n_frames=12)
+    ds = ClipDataset(root, size=16, clip_len=3, augment="none")
+    with pytest.raises(ValueError):  # 4 % 3 != 0
+        DataLoader(ds, batch_size=4, process_count=3)
+    with pytest.raises(ValueError):  # index out of range
+        DataLoader(ds, batch_size=4, process_index=2, process_count=2)
+    with pytest.raises(ValueError):  # partial batches can't split evenly
+        DataLoader(ds, batch_size=4, process_count=2, drop_last=False)
+
+
+def test_global_shard_batch_single_process():
+    """With one process, global_shard_batch == shard_batch (and the array
+    really is batch-sharded over the mesh)."""
+    from vivim_tpu.parallel.mesh import (global_shard_batch, make_mesh,
+                                         shard_batch)
+    mesh = make_mesh(8)
+    batch = {"clip": np.arange(8 * 3 * 4, dtype=np.float32).reshape(8, 3, 4),
+             "paths": ["a"] * 8}
+    g = global_shard_batch(batch, mesh)
+    s = shard_batch(batch, mesh)
+    np.testing.assert_array_equal(np.asarray(g["clip"]), np.asarray(s["clip"]))
+    assert g["clip"].sharding == s["clip"].sharding
+    assert g["paths"] == batch["paths"]

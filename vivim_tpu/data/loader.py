@@ -29,10 +29,32 @@ class DataLoader:
       drop_last: drop the trailing partial batch (static shapes for jit).
       prefetch: max batches queued ahead.
       seed: shuffle/augmentation base seed.
+      process_index / process_count: multi-host input sharding.  Every host
+        computes the same seed+epoch-deterministic global order and global
+        batches, then loads only its ``[process_index::process_count]``
+        stride of each batch — so host-local batches of
+        ``batch_size // process_count`` clips together tile the global
+        batch exactly (augmentation RNG is keyed by the *global* sample
+        index, so the union across hosts is bit-identical to a one-host
+        run).  Assemble the global device array with
+        ``vivim_tpu.parallel.mesh.global_shard_batch``.  Defaults (0, 1)
+        reproduce single-host behavior.
     """
 
     def __init__(self, dataset, batch_size, shuffle=True, num_workers=4,
-                 drop_last=True, prefetch=4, seed=42):
+                 drop_last=True, prefetch=4, seed=42,
+                 process_index=0, process_count=1):
+        if batch_size % process_count:
+            raise ValueError(
+                f"global batch_size {batch_size} must divide evenly over "
+                f"{process_count} processes")
+        if not 0 <= process_index < process_count:
+            raise ValueError(f"process_index {process_index} out of range "
+                             f"for process_count {process_count}")
+        if process_count > 1 and not drop_last:
+            raise ValueError("multi-host sharding needs drop_last=True: a "
+                             "partial global batch would split unevenly "
+                             "across hosts (non-uniform local shapes)")
         self.dataset = dataset
         self.batch_size = batch_size
         self.shuffle = shuffle
@@ -40,6 +62,8 @@ class DataLoader:
         self.drop_last = drop_last
         self.prefetch = prefetch
         self.seed = seed
+        self.process_index = process_index
+        self.process_count = process_count
         self.epoch = 0
 
     def set_epoch(self, epoch: int):
@@ -73,6 +97,9 @@ class DataLoader:
         order = self._order()
         batches = [order[i * self.batch_size : (i + 1) * self.batch_size]
                    for i in range(len(self))]
+        if self.process_count > 1:
+            batches = [b[self.process_index::self.process_count]
+                       for b in batches]
         if self.num_workers <= 0:
             for bidx in batches:
                 yield self._collate(

@@ -8,9 +8,10 @@ from vivim_tpu.parallel.mesh import (
     make_mesh,
     make_hybrid_mesh,
     shard_batch,
+    global_shard_batch,
     replicate,
     data_sharding,
 )
 
-__all__ = ["make_mesh", "make_hybrid_mesh", "shard_batch", "replicate",
-           "data_sharding"]
+__all__ = ["make_mesh", "make_hybrid_mesh", "shard_batch",
+           "global_shard_batch", "replicate", "data_sharding"]

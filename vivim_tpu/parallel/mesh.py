@@ -57,3 +57,20 @@ def shard_batch(batch, mesh: Mesh, axis: str = "data"):
         lambda x: jax.device_put(x, sharding)
         if hasattr(x, "ndim") and x.ndim >= 1 else x,
         batch)
+
+
+def global_shard_batch(local_batch, mesh: Mesh, axis: str = "data"):
+    """Assemble per-host loader shards into one global batch-sharded array.
+
+    Multi-host counterpart of :func:`shard_batch`: each host passes the
+    ``batch_size // process_count`` clips its ``DataLoader(process_index,
+    process_count)`` loaded, and ``jax.make_array_from_process_local_data``
+    stitches them into a single global array sharded over the ``data`` mesh
+    axis — no host ever materializes the full batch.  With one process this
+    is exactly ``shard_batch``.
+    """
+    sharding = data_sharding(mesh, axis)
+    return jax.tree_util.tree_map(
+        lambda x: jax.make_array_from_process_local_data(sharding, np.asarray(x))
+        if hasattr(x, "ndim") and x.ndim >= 1 else x,
+        local_batch)
