@@ -209,9 +209,9 @@ def test_load_clip_native_matches_pil_fallback(tmp_path):
 
 
 def test_loader_multihost_shards_tile_the_global_batch(tmp_path):
-    """DataLoader(process_index, process_count) host shards, interleaved
-    back together, are bit-identical to the single-host loader (global
-    order and per-sample augmentation RNG are host-independent)."""
+    """DataLoader(process_index, process_count) host blocks, concatenated
+    in host order (= the global row order make_array_from_process_local_data
+    assembles), are bit-identical to the single-host loader."""
     root = make_gathered_tree(str(tmp_path / "t"), n_videos=2, n_frames=18)
     def mk(pi, pc):
         ds = ClipDataset(root, size=16, clip_len=3, augment="medium", seed=1)
@@ -223,10 +223,9 @@ def test_loader_multihost_shards_tile_the_global_batch(tmp_path):
     for g, h0, h1 in zip(global_batches, *host_batches):
         assert h0["clip"].shape[0] == h1["clip"].shape[0] == 2
         for key in ("clip", "masks", "edges"):
-            # global batch order is bidx; host p took bidx[p::2]
-            re = np.empty_like(g[key])
-            re[0::2], re[1::2] = h0[key], h1[key]
-            np.testing.assert_array_equal(re, g[key])
+            # host p took the contiguous block [p*local : (p+1)*local]
+            np.testing.assert_array_equal(
+                np.concatenate([h0[key], h1[key]]), g[key])
 
 
 def test_loader_multihost_validation(tmp_path):

@@ -390,3 +390,37 @@ def test_seq_sharded_train_step_matches_unsharded():
     for a, b in zip(flat_r, flat_s):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=2e-3,
                                    atol=2e-4)
+
+
+def test_hybrid_mesh_indivisible_batch_falls_back_to_replication():
+    """Regression: a batch not divisible by the 'data' axis (e.g. the 3x
+    tri-directional stack of bs=1, or a drop_last=False trailing val batch)
+    must not crash the shard_map island — the batch replicates instead and
+    the result still matches the single-device reference."""
+    from vivim_tpu.parallel.mesh import make_hybrid_mesh
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 devices")
+    rng = np.random.default_rng(3)
+    b, L, d, n = 3, 64, 8, 4  # 3 % data-axis(2) != 0
+    u = jnp.asarray(rng.standard_normal((b, L, d)), jnp.float32)
+    delta = jnp.asarray(0.5 * rng.standard_normal((b, L, d)), jnp.float32)
+    A = jnp.asarray(-0.5 - rng.random((d, n)), jnp.float32)
+    B = jnp.asarray(rng.standard_normal((b, L, n)), jnp.float32)
+    C = jnp.asarray(rng.standard_normal((b, L, n)), jnp.float32)
+
+    mesh = make_hybrid_mesh(2, 4)
+
+    @jax.jit
+    def run(u, delta, B, C):
+        return seq_sharded_selective_scan(
+            u, delta, A, B, C, mesh=mesh, axis_name="seq",
+            implementation="ref")
+
+    y, last = run(u, delta, B, C)
+    want, want_last = refs.selective_scan_ref(
+        u, delta, A, B, C, delta_softplus=True, return_last_state=True)
+    np.testing.assert_allclose(np.asarray(y), np.asarray(want), rtol=1e-4,
+                               atol=1e-4)
+    np.testing.assert_allclose(np.asarray(last), np.asarray(want_last),
+                               rtol=1e-4, atol=1e-4)

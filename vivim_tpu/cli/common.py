@@ -77,6 +77,12 @@ def build_loaders(args, train_root, val_root=None, dynamic=False):
         dynamic=dynamic, seed=args.seed, with_edges=args.with_edge)
     train_dl = DataLoader(train_ds, args.train_bs, shuffle=True,
                           num_workers=args.num_workers, seed=args.seed)
+    if len(train_dl) == 0:
+        raise SystemExit(
+            f"{len(train_ds)} training clip(s) under {train_root!r} < "
+            f"train_bs={args.train_bs}: every batch would be dropped "
+            "(drop_last) and no optimizer step would run — lower -train_bs "
+            "or add data")
     val_dl = None
     if val_root is not None:
         val_ds = ClipDataset(

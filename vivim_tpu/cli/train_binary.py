@@ -72,6 +72,11 @@ def main(argv=None):
             f"no training samples found under {args.data_path!r}")
     train_dl = DataLoader(train_ds, args.train_bs,
                           num_workers=args.num_workers, seed=args.seed)
+    if len(train_dl) == 0:
+        raise SystemExit(
+            f"{len(train_ds)} training sample(s) < train_bs={args.train_bs}: "
+            "every batch would be dropped (drop_last) and no optimizer "
+            "step would run — lower -train_bs or add data")
     val_dl = DataLoader(val_ds, args.val_bs, shuffle=False,
                         num_workers=args.num_workers, drop_last=False,
                         seed=args.seed)

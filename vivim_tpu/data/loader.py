@@ -31,12 +31,13 @@ class DataLoader:
       seed: shuffle/augmentation base seed.
       process_index / process_count: multi-host input sharding.  Every host
         computes the same seed+epoch-deterministic global order and global
-        batches, then loads only its ``[process_index::process_count]``
-        stride of each batch — so host-local batches of
-        ``batch_size // process_count`` clips together tile the global
-        batch exactly (augmentation RNG is keyed by the *global* sample
-        index, so the union across hosts is bit-identical to a one-host
-        run).  Assemble the global device array with
+        batches, then loads only its contiguous
+        ``batch_size // process_count`` block of each batch — contiguous
+        (not strided) so that ``jax.make_array_from_process_local_data``,
+        which places host p's rows at its devices' global offsets, rebuilds
+        the global batch in exactly the single-host row order
+        (augmentation RNG is keyed by the *global* sample index, so the
+        assembled batch is bit-identical to a one-host run).  Assemble with
         ``vivim_tpu.parallel.mesh.global_shard_batch``.  Defaults (0, 1)
         reproduce single-host behavior.
     """
@@ -98,8 +99,9 @@ class DataLoader:
         batches = [order[i * self.batch_size : (i + 1) * self.batch_size]
                    for i in range(len(self))]
         if self.process_count > 1:
-            batches = [b[self.process_index::self.process_count]
-                       for b in batches]
+            local = self.batch_size // self.process_count
+            lo = self.process_index * local
+            batches = [b[lo : lo + local] for b in batches]
         if self.num_workers <= 0:
             for bidx in batches:
                 yield self._collate(

@@ -59,6 +59,26 @@ def shard_batch(batch, mesh: Mesh, axis: str = "data"):
         batch)
 
 
+def shard_map_compat(fn, mesh: Mesh, in_specs, out_specs):
+    """``jax.shard_map`` across jax versions: resolves the import location
+    and the ``check_rep``/``check_vma`` keyword rename once, for every
+    shard_map island in the package (seq_scan, tensor_parallel)."""
+    try:
+        from jax import shard_map
+    except ImportError:  # older jax
+        from jax.experimental.shard_map import shard_map
+    import inspect
+
+    kw = {}
+    sig = inspect.signature(shard_map)
+    if "check_rep" in sig.parameters:
+        kw["check_rep"] = False
+    elif "check_vma" in sig.parameters:
+        kw["check_vma"] = False
+    return shard_map(fn, mesh=mesh, in_specs=in_specs, out_specs=out_specs,
+                     **kw)
+
+
 def global_shard_batch(local_batch, mesh: Mesh, axis: str = "data"):
     """Assemble per-host loader shards into one global batch-sharded array.
 

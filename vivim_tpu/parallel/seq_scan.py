@@ -100,15 +100,19 @@ def seq_sharded_selective_scan(
     boundary.  The 'seq' collectives are unaffected — each data row of the
     mesh carries its own scan state ring.
     """
-    try:
-        from jax import shard_map
-    except ImportError:  # older jax
-        from jax.experimental.shard_map import shard_map
+    from vivim_tpu.parallel.mesh import shard_map_compat
 
-    # any other mesh axis shards the batch dim (hybrid DP x seq);
-    # 1-D seq-only meshes leave it None (= replicated)
-    batch_axis = next((a for a in (mesh.axis_names if mesh is not None else ())
-                       if a != axis_name), None)
+    # any other mesh axis shards the batch dim (hybrid DP x seq) — but only
+    # if the batch divides it (shard_map specs require even shards; an
+    # indivisible batch, e.g. a drop_last=False trailing val batch or the
+    # 3x tri-directional stack over an odd 'data' axis, replicates instead,
+    # mirroring MambaLayer's constraint guard).  1-D seq-only meshes leave
+    # it None (= replicated).
+    axis_sizes = (dict(zip(mesh.axis_names, mesh.devices.shape))
+                  if mesh is not None else {})
+    batch_axis = next((a for a in axis_sizes
+                       if a != axis_name and u.shape[0] % axis_sizes[a] == 0),
+                      None)
     seq_spec = P(batch_axis, axis_name, None)
     rep = P()
     # per-batch parameter forms (tri-directional stacks) follow the batch
@@ -133,19 +137,8 @@ def seq_sharded_selective_scan(
         kwargs = dict(zip(names, extras))
         return body(u, delta, A, B, C, **kwargs)
 
-    import inspect
-
-    kw = {}
-    sig = inspect.signature(shard_map)
-    if "check_rep" in sig.parameters:
-        kw["check_rep"] = False
-    elif "check_vma" in sig.parameters:
-        kw["check_vma"] = False
     in_specs = (seq_spec, seq_spec, a_spec, seq_spec, seq_spec,
                 *(spec for _, _, spec in present))
-    return shard_map(
-        wrapped, mesh=mesh,
-        in_specs=in_specs,
-        out_specs=(seq_spec, last_spec),
-        **kw,
+    return shard_map_compat(
+        wrapped, mesh, in_specs, (seq_spec, last_spec),
     )(u, delta, A, B, C, *(val for _, val, _ in present))

@@ -44,32 +44,16 @@ from jax.sharding import Mesh, PartitionSpec as P
 
 from vivim_tpu.kernels.causal_conv1d import causal_conv1d
 from vivim_tpu.kernels.selective_scan import selective_scan
+from vivim_tpu.parallel.mesh import shard_map_compat as _shard_map
 
 
-def _shard_map(fn, mesh, in_specs, out_specs):
-    try:
-        from jax import shard_map
-    except ImportError:  # older jax
-        from jax.experimental.shard_map import shard_map
-    import inspect
-
-    kw = {}
-    sig = inspect.signature(shard_map)
-    if "check_rep" in sig.parameters:
-        kw["check_rep"] = False
-    elif "check_vma" in sig.parameters:
-        kw["check_vma"] = False
-    return shard_map(fn, mesh=mesh, in_specs=in_specs, out_specs=out_specs,
-                     **kw)
-
-
-def _mixer_local(x, w_x, w_z, conv_w, conv_b, x_proj, dt_proj, dt_bias,
-                 A_log, D, out_proj, *, axis_name, dt_rank, dstate,
-                 implementation):
+def _mixer_local(x, w_x, w_z, b_x, b_z, conv_w, conv_b, x_proj, dt_proj,
+                 dt_bias, A_log, D, out_proj, b_out, *, axis_name, dt_rank,
+                 dstate, implementation):
     """Per-shard mixer body: everything per-channel is a d_inner/k slice."""
     dtype = x.dtype
-    x_l = jnp.einsum("bld,ed->ble", x, w_x.astype(dtype))
-    z_l = jnp.einsum("bld,ed->ble", x, w_z.astype(dtype))
+    x_l = jnp.einsum("bld,ed->ble", x, w_x.astype(dtype)) + b_x.astype(dtype)
+    z_l = jnp.einsum("bld,ed->ble", x, w_z.astype(dtype)) + b_z.astype(dtype)
     x_c = causal_conv1d(x_l, conv_w, conv_b, activation="silu")
     # row-parallel x_proj: contract over the local channel slice, then
     # all-reduce -> the global dt/B/C inputs every channel shares
@@ -84,9 +68,10 @@ def _mixer_local(x, w_x, w_z, conv_w, conv_b, x_proj, dt_proj, dt_bias,
         D=D.astype(jnp.float32), z=z_l,
         delta_bias=dt_bias.astype(jnp.float32), delta_softplus=True,
         implementation=implementation)
-    # row-parallel out_proj: partial products all-reduced over the TP axis
+    # row-parallel out_proj: partial products all-reduced over the TP axis;
+    # the (replicated) output bias is added once, after the psum
     out = jnp.einsum("bld,od->blo", y_l, out_proj.astype(y_l.dtype))
-    return jax.lax.psum(out, axis_name)
+    return jax.lax.psum(out, axis_name) + b_out.astype(y_l.dtype)
 
 
 def tp_mamba_mixer(params, x, mesh: Mesh, axis_name: str = "model",
@@ -95,7 +80,8 @@ def tp_mamba_mixer(params, x, mesh: Mesh, axis_name: str = "model",
 
     ``params``: the flax param dict of a ``MambaV3(bimamba_type="none")``
     (in_proj_kernel, conv1d_kernel/bias, x_proj_kernel, dt_proj_kernel/bias,
-    A_log, D, out_proj_kernel) — the SAME tree the unsharded module uses;
+    A_log, D, out_proj_kernel, optional in_proj_bias/out_proj_bias from
+    ``bias=True`` modules) — the SAME tree the unsharded module uses;
     d_inner must divide by the ``axis_name`` mesh-axis size.
     ``x``: (B, L, d_model) tokens, replicated over ``axis_name`` (sharded
     over ``batch_axis`` if given).  Returns (B, L, d_model).
@@ -123,23 +109,44 @@ def tp_mamba_mixer(params, x, mesh: Mesh, axis_name: str = "model",
         _mixer_local, axis_name=axis_name, dt_rank=dt_rank, dstate=dstate,
         implementation=implementation)
     # a zeros bias is identical to no bias — keeps one shard_map signature
+    dtype = in_proj.dtype
     conv_b = params.get("conv1d_bias")
     if conv_b is None:
         conv_b = jnp.zeros((d_inner,), params["conv1d_kernel"].dtype)
+    in_b = params.get("in_proj_bias")
+    if in_b is None:
+        in_b = jnp.zeros((2 * d_inner,), dtype)
+    b_x, b_z = in_b[:d_inner], in_b[d_inner:]  # column-parallel halves
+    b_out = params.get("out_proj_bias")
+    if b_out is None:
+        b_out = jnp.zeros((params["out_proj_kernel"].shape[0],), dtype)
+    rep = P()  # out bias is a (d_model,) global vector, added post-psum
     return _shard_map(
         body, mesh,
-        (x_spec, col, col, conv_spec, chan, row, col, chan, col, chan, row),
+        (x_spec, col, col, chan, chan, conv_spec, chan, row, col, chan, col,
+         chan, row, rep),
         x_spec,
-    )(x, w_x, w_z, params["conv1d_kernel"], conv_b, params["x_proj_kernel"],
-      params["dt_proj_kernel"], params["dt_proj_bias"], params["A_log"],
-      params["D"], params["out_proj_kernel"])
+    )(x, w_x, w_z, b_x, b_z, params["conv1d_kernel"], conv_b,
+      params["x_proj_kernel"], params["dt_proj_kernel"],
+      params["dt_proj_bias"], params["A_log"], params["D"],
+      params["out_proj_kernel"], b_out)
 
 
 def _tp_in_proj(mp, x):
     """Column-parallel in_proj from the pre-split x/z kernel slices."""
     xw = x @ mp["in_proj_x"].T.astype(x.dtype)
     z = x @ mp["in_proj_z"].T.astype(x.dtype)
+    if "in_proj_bias_x" in mp:
+        xw = xw + mp["in_proj_bias_x"].astype(x.dtype)
+        z = z + mp["in_proj_bias_z"].astype(x.dtype)
     return xw, z
+
+
+def _tp_out_bias(mp, out):
+    """Replicated out_proj bias, added once after the psum."""
+    if "out_proj_bias" in mp:
+        out = out + mp["out_proj_bias"].astype(out.dtype)
+    return out
 
 
 def tp_mixer_prefill(mp, x, *, axis_name, implementation=None):
@@ -167,7 +174,7 @@ def tp_mixer_prefill(mp, x, *, axis_name, implementation=None):
         delta_softplus=True, return_last_state=True,
         implementation=implementation)
     out = jnp.einsum("bld,od->blo", y, mp["out_proj_kernel"].astype(y.dtype))
-    return jax.lax.psum(out, axis_name), conv_state, ssm_state
+    return _tp_out_bias(mp, jax.lax.psum(out, axis_name)), conv_state, ssm_state
 
 
 def tp_mixer_step(mp, x, conv_state, ssm_state, *, axis_name):
@@ -189,7 +196,7 @@ def tp_mixer_step(mp, x, conv_state, ssm_state, *, axis_name):
         Bv, Cv, D=mp["D"].astype(jnp.float32), z=z,
         dt_bias=mp["dt_proj_bias"].astype(jnp.float32), dt_softplus=True)
     out = y @ mp["out_proj_kernel"].T.astype(y.dtype)
-    return jax.lax.psum(out, axis_name), conv_state, ssm_state
+    return _tp_out_bias(mp, jax.lax.psum(out, axis_name)), conv_state, ssm_state
 
 
 def _split_tp_param_tree(p, axis_name):
@@ -198,11 +205,13 @@ def _split_tp_param_tree(p, axis_name):
     everything else replicated)."""
     mixer_specs = {
         "in_proj_x": P(axis_name, None), "in_proj_z": P(axis_name, None),
+        "in_proj_bias_x": P(axis_name), "in_proj_bias_z": P(axis_name),
         "conv1d_kernel": P(None, axis_name), "conv1d_bias": P(axis_name),
         "x_proj_kernel": P(None, axis_name),
         "dt_proj_kernel": P(axis_name, None), "dt_proj_bias": P(axis_name),
         "A_log": P(axis_name, None), "D": P(axis_name),
         "out_proj_kernel": P(None, axis_name),
+        "out_proj_bias": P(),  # global (d_model,) vector, added post-psum
     }
     tree = {k: dict(v) if hasattr(v, "keys") else v for k, v in p.items()}
     specs = {}
@@ -211,6 +220,16 @@ def _split_tp_param_tree(p, axis_name):
             ip = v.pop("in_proj_kernel")
             d_inner = v["A_log"].shape[0]
             v["in_proj_x"], v["in_proj_z"] = ip[:d_inner], ip[d_inner:]
+            if "in_proj_bias" in v:
+                ib = v.pop("in_proj_bias")
+                v["in_proj_bias_x"] = ib[:d_inner]
+                v["in_proj_bias_z"] = ib[d_inner:]
+            unknown = sorted(set(v) - set(mixer_specs))
+            if unknown:
+                raise ValueError(
+                    f"TP has no sharding rule for mixer param(s) {unknown} "
+                    f"in {k} — supported: single-direction MambaV3 trees "
+                    f"({sorted(mixer_specs)})")
             specs[k] = {name: mixer_specs[name] for name in v}
         else:
             specs[k] = jax.tree_util.tree_map(lambda _: P(), v)
@@ -259,13 +278,6 @@ def tp_generate(model, params, tokens, max_new_tokens, mesh: Mesh,
         tree, tokens, rng)
 
 
-def _layer_norm(np_, h, eps=1e-6):
-    mean = h.mean(-1, keepdims=True)
-    var = ((h - mean) ** 2).mean(-1, keepdims=True)
-    hn = (h - mean) * jax.lax.rsqrt(var + eps)
-    return hn * np_["scale"] + np_["bias"]
-
-
 def lm_tp_forward(cfg, params, tokens, mesh: Mesh,
                   axis_name: str = "model", batch_axis: str | None = None,
                   implementation=None):
@@ -279,15 +291,17 @@ def lm_tp_forward(cfg, params, tokens, mesh: Mesh,
     ``params``: the ``{"params": ...}`` tree (or its inner dict) from
     ``MambaLM.init``.  Returns (B, L, padded_vocab) logits.
     """
+    from vivim_tpu.nn import lm as lm_lib
+
     p = params["params"] if "params" in params else params
     emb = p["embedding"]
     h = emb[tokens]
     for i in range(cfg.n_layer):
         res = h
-        h = _layer_norm(p[f"norm_{i}"], h)
+        h = lm_lib.layer_norm(p[f"norm_{i}"], h)
         h = tp_mamba_mixer(p[f"mixer_{i}"], h, mesh, axis_name=axis_name,
                            batch_axis=batch_axis,
                            implementation=implementation)
         h = res + h
-    h = _layer_norm(p["norm_f"], h)
+    h = lm_lib.layer_norm(p["norm_f"], h)
     return h @ emb.T
