@@ -90,3 +90,28 @@ def test_vivim_forward_golden():
         0, 3, 1, 2)
     np.testing.assert_allclose(got_logits, want_logits, rtol=1e-3, atol=1e-3)
     np.testing.assert_allclose(got_edge, want_edge, rtol=1e-3, atol=1e-3)
+
+
+def test_mamba_lm_golden():
+    """Flax MambaLM == an independently-executed torch MambaLMHeadModel
+    twin on the same (converted) weights: embedding, prenorm eps=1e-5
+    residual blocks, single-direction mixers, tied lm_head
+    (mixer_seq_simple.py:83-233).  Catches converter drift AND model-math
+    drift (it caught the flax-default 1e-6 norm eps divergence)."""
+    from tests.torch_vivim_ref import MambaLMRefTorch
+    from vivim_tpu.nn.lm import MambaLM, MambaLMConfig
+
+    torch.manual_seed(3)
+    vocab, d_model, n_layer = 48, 32, 2
+    ref = MambaLMRefTorch(vocab, d_model, n_layer).eval()
+    params = cv.mamba_lm_params_from_torch(ref.state_dict(), n_layer)
+
+    tokens = torch.randint(0, vocab, (2, 9))
+    with torch.no_grad():
+        want = ref(tokens).numpy()
+
+    cfg = MambaLMConfig(vocab_size=vocab, d_model=d_model, n_layer=n_layer)
+    assert cfg.padded_vocab == vocab  # keep the tied head comparable
+    model = MambaLM(cfg, scan_implementation="ref")
+    got = model.apply({"params": params}, jnp.asarray(tokens.numpy()))
+    np.testing.assert_allclose(np.asarray(got), want, rtol=1e-3, atol=1e-4)

@@ -267,3 +267,91 @@ class VivimRefTorch(nn.Module):
                                  align_corners=False)
             return up, edge
         return up
+
+
+class MambaSimpleRefTorch(nn.Module):
+    """Single-direction (``bimamba_type="none"``) Mamba mixer: the
+    reference's slow path (mamba_simple.py:311-353) with the vendored
+    module's parameter names, for LM golden tests."""
+
+    def __init__(self, d_model, d_state=16, d_conv=4, expand=2):
+        super().__init__()
+        self.d_state = d_state
+        self.d_inner = expand * d_model
+        self.dt_rank = math.ceil(d_model / 16)
+        self.in_proj = nn.Linear(d_model, 2 * self.d_inner, bias=False)
+        self.conv1d = nn.Conv1d(self.d_inner, self.d_inner, d_conv,
+                                groups=self.d_inner, padding=d_conv - 1,
+                                bias=True)
+        self.x_proj = nn.Linear(self.d_inner,
+                                self.dt_rank + 2 * d_state, bias=False)
+        self.dt_proj = nn.Linear(self.dt_rank, self.d_inner, bias=True)
+        # reference dt init (mamba_simple.py:89-108)
+        dt_std = self.dt_rank**-0.5
+        nn.init.uniform_(self.dt_proj.weight, -dt_std, dt_std)
+        dt = torch.exp(torch.rand(self.d_inner)
+                       * (math.log(0.1) - math.log(0.001))
+                       + math.log(0.001)).clamp(min=1e-4)
+        with torch.no_grad():
+            self.dt_proj.bias.copy_(dt + torch.log(-torch.expm1(-dt)))
+        A = torch.arange(1, d_state + 1, dtype=torch.float32).repeat(
+            self.d_inner, 1)
+        self.A_log = nn.Parameter(torch.log(A))
+        self.D = nn.Parameter(torch.ones(self.d_inner))
+        self.out_proj = nn.Linear(self.d_inner, d_model, bias=False)
+
+    def forward(self, hidden_states):
+        l = hidden_states.shape[1]
+        xz = self.in_proj(hidden_states).transpose(1, 2)  # (b, 2d, l)
+        x, z = xz.chunk(2, dim=1)
+        x = F.silu(self.conv1d(x)[..., :l])
+        x_dbl = self.x_proj(x.transpose(1, 2))
+        dt, B, C = torch.split(
+            x_dbl, [self.dt_rank, self.d_state, self.d_state], dim=-1)
+        dt = torch.einsum("blr,dr->bdl", dt, self.dt_proj.weight)
+        y = selective_scan_ref_torch(
+            x, dt, -torch.exp(self.A_log.float()), B.transpose(1, 2),
+            C.transpose(1, 2), D=self.D, z=z, delta_bias=self.dt_proj.bias,
+            delta_softplus=True)
+        return self.out_proj(y.transpose(1, 2))
+
+
+class _LMBlockRefTorch(nn.Module):
+    def __init__(self, d_model, d_state, d_conv, expand, norm_epsilon):
+        super().__init__()
+        self.norm = nn.LayerNorm(d_model, eps=norm_epsilon)
+        self.mixer = MambaSimpleRefTorch(d_model, d_state, d_conv, expand)
+
+
+class _LMBackboneRefTorch(nn.Module):
+    def __init__(self, vocab, d_model, n_layer, d_state, d_conv, expand,
+                 norm_epsilon):
+        super().__init__()
+        self.embedding = nn.Embedding(vocab, d_model)
+        self.layers = nn.ModuleList(
+            _LMBlockRefTorch(d_model, d_state, d_conv, expand, norm_epsilon)
+            for _ in range(n_layer))
+        self.norm_f = nn.LayerNorm(d_model, eps=norm_epsilon)
+
+
+class MambaLMRefTorch(nn.Module):
+    """MambaLMHeadModel twin (mixer_seq_simple.py:83-233): embedding ->
+    n x [prenorm LayerNorm(eps=1e-5) + single-direction mixer + residual]
+    -> final norm -> TIED lm_head.  state_dict keys match the reference
+    checkpoint layout (``backbone.embedding.weight``,
+    ``backbone.layers.{i}.{norm,mixer}.*``, ``backbone.norm_f.*``) so
+    ``convert.torch_to_jax.mamba_lm_params_from_torch`` consumes it."""
+
+    def __init__(self, vocab, d_model, n_layer, d_state=16, d_conv=4,
+                 expand=2, norm_epsilon=1e-5):
+        super().__init__()
+        self.backbone = _LMBackboneRefTorch(
+            vocab, d_model, n_layer, d_state, d_conv, expand, norm_epsilon)
+        nn.init.normal_(self.backbone.embedding.weight, std=0.02)
+
+    def forward(self, tokens):
+        h = self.backbone.embedding(tokens)
+        for layer in self.backbone.layers:
+            h = h + layer.mixer(layer.norm(h))
+        h = self.backbone.norm_f(h)
+        return h @ self.backbone.embedding.weight.T

@@ -68,10 +68,13 @@ class MambaLM(nn.Module):
         h = emb[tokens]
         for i in range(cfg.n_layer):
             res = h
-            h = nn.LayerNorm(name=f"norm_{i}")(h)
+            # reference norm_epsilon=1e-5 (mixer_seq_simple.py:24,90) — NOT
+            # flax's 1e-6 default; with embedding-scale variances (~4e-4)
+            # the eps choice shifts post-norm activations by ~1%
+            h = nn.LayerNorm(epsilon=1e-5, name=f"norm_{i}")(h)
             h = self._mixer(i)(h)
             h = res + h
-        h = nn.LayerNorm(name="norm_f")(h)
+        h = nn.LayerNorm(epsilon=1e-5, name="norm_f")(h)
         return h @ emb.T  # tied lm_head (mixer_seq_simple.py:193-204)
 
 
@@ -86,6 +89,18 @@ def rescale_residual_projections(params, n_layer, n_residuals_per_layer=1):
         return p
 
     return jax.tree_util.tree_map_with_path(fix, params)
+
+
+def layer_norm(np_, h, eps=1e-5):
+    """Functional twin of the model's ``nn.LayerNorm`` (same eps: the
+    reference's norm_epsilon=1e-5, mixer_seq_simple.py:24), applied from a
+    ``{"scale", "bias"}`` param dict — shared by ``generate``'s decode loop
+    and the tensor-parallel functional forwards so the norm math lives in
+    exactly one place."""
+    mean = h.mean(-1, keepdims=True)
+    var = ((h - mean) ** 2).mean(-1, keepdims=True)
+    hn = (h - mean) * jax.lax.rsqrt(var + eps)
+    return hn * np_["scale"] + np_["bias"]
 
 
 def _sample_logits(rng, logits, temperature, top_k, top_p):
@@ -131,11 +146,7 @@ def generate(model: MambaLM, params, tokens, max_new_tokens, rng=None,
     def layer_params(i):
         return p[f"mixer_{i}"], p[f"norm_{i}"]
 
-    def apply_norm(np_, h):
-        mean = h.mean(-1, keepdims=True)
-        var = ((h - mean) ** 2).mean(-1, keepdims=True)
-        hn = (h - mean) * jax.lax.rsqrt(var + 1e-6)
-        return hn * np_["scale"] + np_["bias"]
+    apply_norm = layer_norm
 
     # ---- prefill over the prompt ----
     h = emb[tokens]

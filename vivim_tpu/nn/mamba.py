@@ -292,9 +292,11 @@ class MambaLayer(nn.Module):
             name="mamba",
         )
         drop_path = DropPath(self.drop_path)
-        h = nn.LayerNorm(name="norm1")(x)
+        # torch nn.LayerNorm default eps=1e-5 (reference vivim.py:147,153),
+        # not flax's 1e-6
+        h = nn.LayerNorm(epsilon=1e-5, name="norm1")(x)
         x = x + drop_path(mamba(h, nframes=nframes), deterministic)
-        h = nn.LayerNorm(name="norm2")(x)
+        h = nn.LayerNorm(epsilon=1e-5, name="norm2")(x)
         mlp = Mlp(self.dim, int(self.dim * self.mlp_ratio),
                   dropout_rate=self.dropout_rate,
                   gelu_approximate=self.gelu_approximate, name="mlp")
