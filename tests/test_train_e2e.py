@@ -233,3 +233,52 @@ def test_pretrained_partial_load(env, tmp_path):
     args = argparse.Namespace(pretrain=None)
     assert maybe_load_pretrained(args, trainer.model, trainer.state) is \
         trainer.state
+
+
+def test_preemption_checkpoints_and_resumes(tmp_path):
+    """SIGTERM mid-training -> the trainer finishes the in-flight step,
+    writes a resumable 'last' checkpoint, restores the previous signal
+    handlers, and a fresh trainer resumes from it to completion (the
+    preemptible-pool discipline; the reference has no failure handling)."""
+    import os
+    import signal
+
+    root = make_gathered_tree(str(tmp_path / "data"), n_videos=2,
+                              n_frames=9, size=32)
+    def mk_trainer():
+        ds = ClipDataset(root, size=32, clip_len=3, augment="none", seed=0)
+        dl = DataLoader(ds, batch_size=2, num_workers=0, seed=0)
+        cfg = VivimConfig.tiny_test()
+        tcfg = TrainerConfig(epochs=3, val_freq=10, lr=1e-3, num_classes=3)
+        return Trainer(Vivim(cfg), tcfg, dl,
+                       DataLoader(ds, batch_size=2, num_workers=0,
+                                  shuffle=False, seed=0),
+                       str(tmp_path / "ckpt"),
+                       MetricLogger(str(tmp_path / "logs")))
+
+    trainer = mk_trainer()
+    total = 3 * len(trainer.train_loader)
+    prev_term = signal.getsignal(signal.SIGTERM)
+
+    orig_log = trainer.logger.log
+    fired = []
+
+    def log_and_preempt(*a, **k):
+        if not fired:
+            fired.append(True)
+            os.kill(os.getpid(), signal.SIGTERM)  # delivered to main thread
+        return orig_log(*a, **k)
+
+    trainer.logger.log = log_and_preempt
+    trainer.fit()
+    assert trainer.preempted
+    step_at_preempt = int(trainer.state.step)
+    assert 0 < step_at_preempt < total
+    assert trainer.ckpt.last_path() is not None
+    # handlers restored
+    assert signal.getsignal(signal.SIGTERM) == prev_term
+
+    fresh = mk_trainer()
+    fresh.fit(resume_path=fresh.ckpt.last_path())
+    assert not fresh.preempted
+    assert int(fresh.state.step) == total

@@ -10,12 +10,19 @@ Responsibilities:
   train/loss min top-3 for final retrain) + resume;
 - learning-rate logging per epoch (:734-737);
 - dynamic datasets: ``set_epoch`` re-draws clip subsets per epoch
-  (dyn_multiclass_training.py:739-747).
+  (dyn_multiclass_training.py:739-747);
+- preemption safety (beyond-reference: the reference has no failure
+  handling, only manual ``-resume_path``): SIGTERM/SIGINT set a flag
+  checked between steps; the trainer checkpoints ``last_<step>`` and
+  returns cleanly, and the same ``resume()`` path continues the run —
+  the standard discipline for preemptible TPU pools.
 """
 
 from __future__ import annotations
 
 import dataclasses
+import signal
+import threading
 import time
 
 import jax
@@ -92,12 +99,40 @@ class Trainer:
             compute_dtype=compute_dtype,
             edge_loss_fn=edge_loss_fn if with_edge else None)
         self.epoch = 0
+        self.preempted = False
+        self._skip_batches = 0  # mid-epoch resume: batches already consumed
+
+    def _install_preemption_handlers(self):
+        """Install SIGTERM/SIGINT -> flag handlers (main thread only);
+        returns the previous handlers for restoration."""
+        if threading.current_thread() is not threading.main_thread():
+            return {}
+
+        def _flag(signum, frame):
+            self.preempted = True
+            print(f"[trainer] caught signal {signum}: finishing the current "
+                  "step, checkpointing, and exiting cleanly")
+
+        prev = {}
+        for sig in (signal.SIGTERM, signal.SIGINT):
+            try:
+                prev[sig] = signal.signal(sig, _flag)
+            except (ValueError, OSError):  # non-main ctx / unsupported
+                pass
+        return prev
 
     def resume(self, path: str | None = None):
         self.state = self.ckpt.restore(self.state, path)
-        self.epoch = int(self.state.step) // max(len(self.train_loader), 1)
+        spe = max(len(self.train_loader), 1)
+        self.epoch = int(self.state.step) // spe
+        # mid-epoch checkpoint (preemption): the loader's per-epoch order is
+        # deterministic given set_epoch, so skipping the consumed prefix
+        # continues the exact batch sequence
+        self._skip_batches = int(self.state.step) - self.epoch * spe
         print(f"[trainer] resumed at step {int(self.state.step)} "
-              f"(epoch {self.epoch})")
+              f"(epoch {self.epoch}"
+              + (f", skipping {self._skip_batches} consumed batches"
+                 if self._skip_batches else "") + ")")
 
     def _device_batch(self, batch):
         batch = {k: v for k, v in batch.items() if k != "paths"}
@@ -108,16 +143,21 @@ class Trainer:
 
     def train_epoch(self):
         self.train_loader.set_epoch(self.epoch)
+        skip, self._skip_batches = self._skip_batches, 0
         losses, jaccs = [], []
         t0 = time.time()
         n_frames = 0
         profiling = (self.cfg.profile_dir is not None and self.epoch == 0)
         for i, batch in enumerate(self.train_loader):
+            if i < skip:
+                continue
             if profiling and i == 1:  # skip the compile step
                 jax.profiler.start_trace(self.cfg.profile_dir)
             if profiling and i == 1 + self.cfg.profile_steps:
                 jax.profiler.stop_trace()
                 profiling = False
+            if self.preempted:
+                break
             n_frames += batch["clip"].shape[0] * batch["clip"].shape[1]
             self.state, metrics = self.train_step(
                 self.state, self._device_batch(batch))
@@ -133,8 +173,10 @@ class Trainer:
             jax.profiler.stop_trace()
         dt = max(time.time() - t0, 1e-9)
         epoch_metrics = {
-            "train/loss": float(np.mean([float(l) for l in losses])),
-            "train/jaccard": float(np.mean([float(j) for j in jaccs])),
+            "train/loss": float(np.mean([float(l) for l in losses]))
+            if losses else 0.0,
+            "train/jaccard": float(np.mean([float(j) for j in jaccs]))
+            if jaccs else 0.0,
             "train/lr": float(self.lr_schedule(int(self.state.step))),
             "train/frames_per_sec": n_frames / dt,
         }
@@ -188,16 +230,30 @@ class Trainer:
         if resume_path:
             self.resume(resume_path)
         best = None
-        while self.epoch < self.cfg.epochs:
-            em = self.train_epoch()
-            metrics = dict(em)
-            if (self.epoch + 1) % self.cfg.val_freq == 0 and len(
-                    self.val_loader) > 0:
-                vm, _, _ = self.validate()
-                metrics.update(vm)
-            self.epoch += 1
-            saved = self.ckpt.save(self.state, int(self.state.step), metrics)
-            if saved:
-                best = metrics.get(self.cfg.monitor)
+        prev_handlers = self._install_preemption_handlers()
+        try:
+            while self.epoch < self.cfg.epochs:
+                em = self.train_epoch()
+                if self.preempted:
+                    # save a resumable 'last' (metrics={} -> no best-score
+                    # update) and leave; resume() continues from here
+                    self.ckpt.save(self.state, int(self.state.step), {})
+                    print(f"[trainer] preempted at step "
+                          f"{int(self.state.step)} (epoch {self.epoch}): "
+                          f"checkpoint saved, exiting")
+                    break
+                metrics = dict(em)
+                if (self.epoch + 1) % self.cfg.val_freq == 0 and len(
+                        self.val_loader) > 0:
+                    vm, _, _ = self.validate()
+                    metrics.update(vm)
+                self.epoch += 1
+                saved = self.ckpt.save(self.state, int(self.state.step),
+                                       metrics)
+                if saved:
+                    best = metrics.get(self.cfg.monitor)
+        finally:
+            for sig, h in prev_handlers.items():
+                signal.signal(sig, h)
         self.ckpt.wait()
         return best
