@@ -113,8 +113,13 @@ def main():
         model, clip, rng, lr=1e-4, weight_decay=1e-2,
         total_steps=1000, mu_dtype=mu_dtype)
     compute_dtype = jnp.bfloat16 if DTYPE == "bfloat16" else None
+    # BENCH_GRAD_ACCUM=k: micro-batch accumulation inside the step — the
+    # memory-bound alternative to BENCH_REMAT=2 for effective bs>=16
+    # (BENCH_BATCH must be divisible by k)
+    grad_accum = int(os.environ.get("BENCH_GRAD_ACCUM", "1"))
     step_fn = loop_lib.make_train_step(model, "recall_focused", 3, tx,
-                                       compute_dtype=compute_dtype)
+                                       compute_dtype=compute_dtype,
+                                       grad_accum=grad_accum)
 
     # Chain STEPS optimizer steps inside one jit: a single dispatch covers
     # the whole timed window, so per-step time is sequential device time
@@ -153,6 +158,8 @@ def main():
 
     clips_per_sec = BATCH / dt
     suffix = "_bf16" if DTYPE == "bfloat16" else ""
+    if grad_accum > 1:
+        suffix += f"_ga{grad_accum}"
     out = {
         "metric": f"vivim_b3_train_clips_per_sec_chip_bs{BATCH}_"
                   f"clip{CLIP_LEN}_{IMG}px{suffix}",

@@ -235,6 +235,100 @@ def test_pretrained_partial_load(env, tmp_path):
         trainer.state
 
 
+def test_grad_accum_matches_manual_microbatch_loop():
+    """grad_accum=k: the jitted lax.scan accumulation step is numerically
+    identical to an explicit k-micro-batch loop — same per-micro-batch
+    dropout folds, sequentially threaded batch_stats, averaged grads, ONE
+    optimizer update, and exact full-batch micro-Jaccard counts."""
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from vivim_tpu.train import loop as loop_lib
+    from vivim_tpu.train.losses import LOSSES
+
+    cfg = VivimConfig.tiny_test()
+    model = Vivim(cfg)
+    B, T, S, k = 4, 3, 32, 2
+    rng = np.random.default_rng(1)
+    batch = {
+        "clip": jnp.asarray(rng.standard_normal((B, T, S, S, 3)),
+                            jnp.float32),
+        "masks": jax.nn.one_hot(
+            jnp.asarray(rng.integers(0, 3, (B, T, S, S))), 3),
+    }
+    state, tx = loop_lib.create_train_state(
+        model, batch["clip"][:1], jax.random.PRNGKey(3), lr=1e-3,
+        weight_decay=1e-2, total_steps=10)
+    step = loop_lib.make_train_step(model, "recall_focused", 3, tx,
+                                    grad_accum=k)
+    new_state, metrics = step(state, batch)
+    assert int(new_state.step) == 1  # one optimizer update, not k
+
+    # manual twin
+    loss_fn = LOSSES["recall_focused"]
+    r, _ = jax.random.split(jax.random.fold_in(state.rng, state.step))
+    bstats = state.batch_stats
+    gsum = jax.tree_util.tree_map(jnp.zeros_like, state.params)
+    lsum, counts = 0.0, jnp.zeros((3,), jnp.float32)
+    for i in range(k):
+        mb = {kk: v.reshape(k, B // k, *v.shape[1:])[i]
+              for kk, v in batch.items()}
+
+        def compute(params, bstats=bstats, mb=mb, i=i):
+            out, updates = model.apply(
+                {"params": params, "batch_stats": bstats}, mb["clip"],
+                deterministic=False,
+                rngs={"dropout": jax.random.fold_in(r, i)},
+                mutable=["batch_stats"])
+            logits, targets = loop_lib.flatten_frames(out, mb["masks"])
+            return loss_fn(logits, targets, 3), (logits, targets, updates)
+
+        (loss, (logits, targets, updates)), grads = jax.value_and_grad(
+            compute, has_aux=True)(state.params)
+        bstats = updates["batch_stats"]
+        gsum = jax.tree_util.tree_map(jnp.add, gsum, grads)
+        lsum = lsum + loss
+        counts = counts + loop_lib.jaccard_counts(logits, targets, 3)
+    grads = jax.tree_util.tree_map(lambda g: g / k, gsum)
+    upd, _ = tx.update(grads, state.opt_state, state.params)
+    want_params = optax.apply_updates(state.params, upd)
+
+    np.testing.assert_allclose(float(metrics["loss"]), float(lsum / k),
+                               rtol=1e-5)
+    tp, fp, fn = np.asarray(counts)
+    np.testing.assert_allclose(float(metrics["jaccard"]),
+                               tp / max(tp + fp + fn, 1), rtol=1e-6)
+    # grad_norm is the scale-sensitive check (Adam's first-step param
+    # update is invariant to gradient SCALE, so a wrong 1/k averaging
+    # would pass a params-only comparison)
+    np.testing.assert_allclose(float(metrics["grad_norm"]),
+                               float(optax.global_norm(grads)), rtol=1e-4)
+    # params: f32 scan-vs-eager grad noise passes through Adam's
+    # m/(sqrt(v)+eps) which NORMALIZES gradient scale — leaves whose grads
+    # are pure roundoff dust (~1e-10) get wholesale-different (though tiny)
+    # updates from either execution order, so compare only leaves with
+    # meaningful gradients; tolerance is on the ~1e-3 update magnitude
+    checked = 0
+    for g, got, want in zip(jax.tree_util.tree_leaves(grads),
+                            jax.tree_util.tree_leaves(new_state.params),
+                            jax.tree_util.tree_leaves(want_params)):
+        if float(np.max(np.abs(np.asarray(g)))) < 1e-6:
+            continue
+        checked += 1
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   rtol=1e-3, atol=2e-5)
+    assert checked > 10  # the model's main weights all have real grads
+    for got, want in zip(jax.tree_util.tree_leaves(new_state.batch_stats),
+                         jax.tree_util.tree_leaves(bstats)):
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   rtol=2e-5, atol=2e-6)
+
+    with pytest.raises(ValueError, match="not divisible"):
+        loop_lib.make_train_step(model, "recall_focused", 3, tx,
+                                 grad_accum=3)(state, batch)
+
+
 def test_preemption_checkpoints_and_resumes(tmp_path):
     """SIGTERM mid-training -> the trainer finishes the in-flight step,
     writes a resumable 'last' checkpoint, restores the previous signal

@@ -77,6 +77,12 @@ def build_train_parser(description="vivim_tpu training"):
               "single-device scan (logged once per compile). Combine "
               "with -n_devices N for a hybrid N x shards ('data', 'seq') "
               "mesh: batch sharded over 'data', tokens over 'seq'.")
+    _add(p, "grad_accum", type=int, default=1,
+         help="micro-batch gradient accumulation: split each train batch "
+              "into this many micro-batches inside the jitted step, average "
+              "the gradients, apply ONE optimizer update — reaches "
+              "effective batch sizes whose activations exceed HBM without "
+              "whole-block remat (train_bs must be divisible)")
     _add(p, "segformer", type=str, default="b3", choices=["b0", "b3", "tiny"])
     _add(p, "exact_gelu", type=str2bool, default=False,
          help="use the exact erf GELU (HF-bit-parity; ~4x slower on TPU)")

@@ -45,7 +45,8 @@ def main(argv=None):
         lr=args.initlr, weight_decay=args.weight_decay,
         num_classes=args.num_classes, loss=args.loss,
         monitor="train/loss", monitor_mode="min", top_k=3, seed=args.seed,
-        bf16=args.bf16, decay_mask=args.decay_mask,
+        bf16=args.bf16, grad_accum=args.grad_accum,
+        decay_mask=args.decay_mask,
         profile_dir=args.profile_dir)
     from vivim_tpu.cli.common import trainer_mesh
     mesh = trainer_mesh(args, cfg)

@@ -47,7 +47,7 @@ def run_fold(args, fold: int):
         epochs=args.epochs, val_freq=args.val_freq, lr=args.initlr,
         weight_decay=args.weight_decay, num_classes=args.num_classes,
         loss=args.loss, monitor="val/dice", monitor_mode="max", top_k=1,
-        seed=args.seed + fold, bf16=args.bf16,
+        seed=args.seed + fold, bf16=args.bf16, grad_accum=args.grad_accum,
         decay_mask=args.decay_mask, profile_dir=args.profile_dir)
     from vivim_tpu.cli.common import trainer_mesh
     mesh = trainer_mesh(args, cfg)

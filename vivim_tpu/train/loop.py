@@ -105,8 +105,11 @@ def create_train_state(model, sample_batch, rng, lr, weight_decay,
     return state, tx
 
 
-def micro_jaccard(logits, targets, num_classes):
-    """Micro-averaged multiclass Jaccard (torchmetrics semantics)."""
+def jaccard_counts(logits, targets, num_classes):
+    """Summed (tp, fp, fn) over all classes as a (3,) f32 vector — the
+    sufficient statistic for micro Jaccard (additive across sub-batches,
+    which is what lets gradient accumulation report the exact full-batch
+    metric)."""
     preds = jnp.argmax(logits, axis=-1)
     tp = fp = fn = 0.0
     for c in range(num_classes):
@@ -115,6 +118,12 @@ def micro_jaccard(logits, targets, num_classes):
         tp = tp + jnp.sum(p & g)
         fp = fp + jnp.sum(p & ~g)
         fn = fn + jnp.sum(~p & g)
+    return jnp.stack([tp, fp, fn]).astype(jnp.float32)
+
+
+def micro_jaccard(logits, targets, num_classes):
+    """Micro-averaged multiclass Jaccard (torchmetrics semantics)."""
+    tp, fp, fn = jaccard_counts(logits, targets, num_classes)
     return tp / jnp.maximum(tp + fp + fn, 1)
 
 
@@ -137,7 +146,7 @@ def cast_floating(tree, dtype):
 
 def make_train_step(model, loss_fn: Callable | str = "recall_focused",
                     num_classes: int = 3, tx=None, edge_loss_fn=None,
-                    compute_dtype=None):
+                    compute_dtype=None, grad_accum: int = 1):
     """Returns a jitted train step: (state, batch) -> (state, metrics).
 
     ``batch``: dict with clip (B, T, H, W, 3), masks (B, T, H, W, C)
@@ -147,59 +156,119 @@ def make_train_step(model, loss_fn: Callable | str = "recall_focused",
     e.g. jnp.bfloat16 for cast-params mixed precision (losses and the scan
     state remain fp32, and the Mamba modules keep their fp32 A_log/D/
     dt_bias islands).
+
+    ``grad_accum``: micro-batch gradient accumulation (beyond-reference;
+    the batch-scaling study in docs/DESIGN.md shows bs>=16 cannot fit HBM
+    without whole-block remat — accumulation reaches the same effective
+    batch at micro-batch activation memory instead of recompute FLOPs).
+    The batch's leading dim must be divisible by ``grad_accum``; a
+    ``lax.scan`` over contiguous micro-batches averages the gradients and
+    the loss, accumulates the exact full-batch micro-Jaccard counts, and
+    applies ONE optimizer update.  Each micro-batch gets a distinct
+    dropout fold; batch_stats (BN running stats) thread sequentially
+    through the scan — equivalent to ``grad_accum`` sequential BN updates,
+    not one update at the full batch (the same semantics torch gets when
+    accumulating).
     """
     if isinstance(loss_fn, str):
         loss_fn = losses_lib.LOSSES[loss_fn]
     with_edge = edge_loss_fn is not None
+    if grad_accum < 1:
+        raise ValueError(f"grad_accum must be >= 1, got {grad_accum}")
 
-    @jax.jit
-    def step(state: TrainState, batch):
-        rng, new_rng = jax.random.split(jax.random.fold_in(
-            state.rng, state.step))
-
-        def compute_loss(params):
-            clip = batch["clip"]
-            if compute_dtype is not None:
-                params = cast_floating(params, compute_dtype)
-                clip = clip.astype(compute_dtype)
-            out, updates = model.apply(
-                {"params": params, "batch_stats": state.batch_stats},
-                clip, deterministic=False,
-                rngs={"dropout": rng}, mutable=["batch_stats"])
-            if with_edge:
-                logits5, edge5 = out
-            else:
-                logits5 = out
-            logits, targets = flatten_frames(logits5, batch["masks"])
-            loss = loss_fn(logits, targets, num_classes)
-            if with_edge:
-                loss = loss + edge_loss_fn(
-                    logits5, batch["masks"], edge5, batch["edges"])
-            return loss, (logits, targets, updates)
-
-        (loss, (logits, targets, updates)), grads = jax.value_and_grad(
-            compute_loss, has_aux=True)(state.params)
+    def compute_loss(params, batch, batch_stats, rng):
+        clip = batch["clip"]
         if compute_dtype is not None:
-            updates = {"batch_stats": cast_floating(
-                updates["batch_stats"], jnp.float32)}
+            params = cast_floating(params, compute_dtype)
+            clip = clip.astype(compute_dtype)
+        out, updates = model.apply(
+            {"params": params, "batch_stats": batch_stats},
+            clip, deterministic=False,
+            rngs={"dropout": rng}, mutable=["batch_stats"])
+        if with_edge:
+            logits5, edge5 = out
+        else:
+            logits5 = out
+        logits, targets = flatten_frames(logits5, batch["masks"])
+        loss = loss_fn(logits, targets, num_classes)
+        if with_edge:
+            loss = loss + edge_loss_fn(
+                logits5, batch["masks"], edge5, batch["edges"])
+        return loss, (logits, targets, updates)
+
+    def finish(state, new_rng, loss, counts, grads, batch_stats):
+        if compute_dtype is not None:
+            batch_stats = cast_floating(batch_stats, jnp.float32)
         new_params_updates, new_opt_state = tx.update(
             grads, state.opt_state, state.params)
         new_params = optax.apply_updates(state.params, new_params_updates)
         new_state = state.replace(
             step=state.step + 1,
             params=new_params,
-            batch_stats=updates["batch_stats"],
+            batch_stats=batch_stats,
             opt_state=new_opt_state,
             rng=new_rng,
         )
+        tp, fp, fn = counts
         metrics = {
             "loss": loss,
-            "jaccard": micro_jaccard(logits, targets, num_classes),
+            "jaccard": tp / jnp.maximum(tp + fp + fn, 1),
             "grad_norm": optax.global_norm(grads),
         }
         return new_state, metrics
 
-    return step
+    @jax.jit
+    def step(state: TrainState, batch):
+        rng, new_rng = jax.random.split(jax.random.fold_in(
+            state.rng, state.step))
+        (loss, (logits, targets, updates)), grads = jax.value_and_grad(
+            compute_loss, has_aux=True)(
+                state.params, batch, state.batch_stats, rng)
+        return finish(state, new_rng, loss,
+                      jaccard_counts(logits, targets, num_classes),
+                      grads, updates["batch_stats"])
+
+    @jax.jit
+    def step_accum(state: TrainState, batch):
+        B = batch["clip"].shape[0]
+        if B % grad_accum != 0:
+            raise ValueError(
+                f"batch size {B} not divisible by grad_accum={grad_accum}")
+        rng, new_rng = jax.random.split(jax.random.fold_in(
+            state.rng, state.step))
+        micro = jax.tree_util.tree_map(
+            lambda x: x.reshape(grad_accum, B // grad_accum, *x.shape[1:]),
+            batch)
+
+        def body(carry, xs):
+            batch_stats, gsum, lsum, csum = carry
+            mb, i = xs
+            (loss, (logits, targets, updates)), grads = jax.value_and_grad(
+                compute_loss, has_aux=True)(
+                    state.params, mb, batch_stats, jax.random.fold_in(rng, i))
+            batch_stats = updates["batch_stats"]
+            if compute_dtype is not None:
+                # keep the scan carry type-stable (BN stats come back in
+                # compute dtype when the inputs were cast)
+                batch_stats = cast_floating(batch_stats, jnp.float32)
+            gsum = jax.tree_util.tree_map(jnp.add, gsum, grads)
+            return (batch_stats, gsum, lsum + loss,
+                    csum + jaccard_counts(logits, targets, num_classes)), None
+
+        init = (
+            state.batch_stats if compute_dtype is None
+            else cast_floating(state.batch_stats, jnp.float32),
+            jax.tree_util.tree_map(jnp.zeros_like, state.params),
+            jnp.zeros((), jnp.float32),
+            jnp.zeros((3,), jnp.float32),
+        )
+        (batch_stats, gsum, lsum, csum), _ = jax.lax.scan(
+            body, init, (micro, jnp.arange(grad_accum)))
+        grads = jax.tree_util.tree_map(lambda g: g / grad_accum, gsum)
+        return finish(state, new_rng, lsum / grad_accum, csum, grads,
+                      batch_stats)
+
+    return step if grad_accum == 1 else step_accum
 
 
 def confusion_matrix_device(preds, targets, num_classes: int):

@@ -48,6 +48,7 @@ class TrainerConfig:
     log_every: int = 10
     seed: int = 42
     bf16: bool = False  # cast-params mixed precision (fp32 scan state kept)
+    grad_accum: int = 1  # micro-batch gradient accumulation per step
     decay_mask: str = "tagged"  # "torch" = decay all params (ref parity)
     profile_dir: str | None = None  # jax.profiler trace of early train steps
     profile_steps: int = 5
@@ -93,7 +94,7 @@ class Trainer:
         self.train_step = loop_lib.make_train_step(
             model, cfg.loss, cfg.num_classes, self.tx,
             edge_loss_fn=edge_loss_fn if with_edge else None,
-            compute_dtype=compute_dtype)
+            compute_dtype=compute_dtype, grad_accum=cfg.grad_accum)
         self.eval_step = loop_lib.make_eval_step(
             model, cfg.loss, cfg.num_classes, with_edge=with_edge,
             compute_dtype=compute_dtype,
