@@ -103,6 +103,41 @@ def test_loader_batches(tmp_path):
     assert len(batches2) == len(batches)
 
 
+def test_loader_prefetch_bounds_inflight_loads():
+    """Submissions are windowed: a slow consumer must not cause the pool to
+    decode the whole epoch ahead (memory: every decoded clip would sit in a
+    completed future until consumed)."""
+    import threading
+    import time
+
+    class CountingDataset:
+        def __init__(self, n):
+            self.n = n
+            self.loaded = 0
+            self._lock = threading.Lock()
+
+        def __len__(self):
+            return self.n
+
+        def load_clip(self, idx, rng=None):
+            with self._lock:
+                self.loaded += 1
+            return {"clip": np.zeros((2, 4, 4, 3), np.float32)}
+
+    ds = CountingDataset(100)
+    dl = DataLoader(ds, batch_size=2, num_workers=2, prefetch=2,
+                    shuffle=False)
+    it = iter(dl)
+    next(it)  # consume one batch, then stall
+    time.sleep(0.5)  # let the producer run as far ahead as it will
+    # bound: prefetch queued + (prefetch+1) windowed + consumed + worker slop
+    assert ds.loaded <= (2 + 3 + 1 + 2) * 2, (
+        f"loader ran {ds.loaded} loads ahead of a stalled consumer")
+    rest = list(it)
+    assert 1 + len(rest) == 50
+    assert ds.loaded == 100
+
+
 def test_missing_masks_are_zero(tmp_path):
     root = make_gathered_tree(str(tmp_path / "t"), n_videos=1, n_frames=12,
                               with_solid=False)

@@ -20,6 +20,30 @@ from vivim_tpu.train import loop as loop_lib
 from vivim_tpu.train.checkpoints import CheckpointManager
 
 
+def test_last_pruning_keeps_previous_until_next_save(tmp_path):
+    """Orbax saves are async (committed by an atomic rename); the previous
+    'last' must survive until the NEXT save so a crash while the new one is
+    in flight never leaves zero resumable checkpoints."""
+    import os
+
+    d = str(tmp_path / "ck")
+    mgr = CheckpointManager(d, monitor="val/dice", mode="max", top_k=1)
+    mgr.save({"w": jnp.arange(4.0)}, 1, {})
+    mgr.wait()
+    mgr.save({"w": jnp.arange(4.0) + 1}, 2, {})
+    mgr.wait()
+    lasts = sorted(x for x in os.listdir(d) if x.startswith("last_"))
+    assert lasts == ["last_1", "last_2"]
+    mgr.save({"w": jnp.arange(4.0) + 2}, 3, {})
+    mgr.wait()
+    lasts = sorted(x for x in os.listdir(d) if x.startswith("last_"))
+    assert lasts == ["last_2", "last_3"]
+    assert mgr.last_path().endswith("last_3")
+    restored = mgr.restore({"w": jnp.zeros(4)})
+    np.testing.assert_array_equal(np.asarray(restored["w"]),
+                                  np.arange(4.0) + 2)
+
+
 def test_sharded_train_state_roundtrip(tmp_path):
     mesh = make_mesh(8)
     cfg = VivimConfig.tiny_test(scan_implementation="ref")

@@ -135,9 +135,46 @@ def test_eval_core_generate_until(eval_core):
         assert stopped == text[:text.index(text[1])]
 
 
-def test_generate_greedy_matches_full_forward_replay():
-    """Greedy streaming decode == repeatedly running the full forward."""
-    cfg = MambaLMConfig(vocab_size=32, d_model=16, n_layer=2)
+import pytest
+
+
+def test_load_lm_from_local_hf_snapshot(tmp_path):
+    """``--hf_dir``: a local mamba HF snapshot (config.json +
+    pytorch_model.bin) loads through ``load_lm`` with the config's
+    rms_norm / residual_in_fp32 / pad_vocab_size_multiple honored — the
+    zero-egress ``MambaLMHeadModel.from_pretrained`` surface
+    (mamba/mamba_ssm/utils/hf.py:9-23)."""
+    import json
+
+    torch = pytest.importorskip("torch")
+    from tests.torch_vivim_ref import MambaLMRefTorch
+    from vivim_tpu.cli.lm_eval_harness import load_lm
+
+    torch.manual_seed(11)
+    vocab, d_model, n_layer = 48, 32, 2
+    ref = MambaLMRefTorch(vocab, d_model, n_layer, rms_norm=True).eval()
+    torch.save(ref.state_dict(), tmp_path / "pytorch_model.bin")
+    (tmp_path / "config.json").write_text(json.dumps({
+        "d_model": d_model, "n_layer": n_layer, "vocab_size": vocab,
+        "ssm_cfg": {}, "rms_norm": True, "residual_in_fp32": True,
+        "fused_add_norm": True, "pad_vocab_size_multiple": 8}))
+
+    model, params = load_lm(None, 0, 0, 0, hf_dir=str(tmp_path))
+    assert model.cfg.rms_norm and model.cfg.n_layer == n_layer
+    tokens = torch.randint(0, vocab, (2, 7))
+    with torch.no_grad():
+        want = ref(tokens).numpy()
+    got = model.apply(params, jnp.asarray(tokens.numpy()))
+    np.testing.assert_allclose(np.asarray(got), want, rtol=1e-3, atol=1e-4)
+
+
+@pytest.mark.parametrize("rms", [False, True])
+def test_generate_greedy_matches_full_forward_replay(rms):
+    """Greedy streaming decode == repeatedly running the full forward —
+    for both norm flavors (the decode loop's functional norm must track
+    the module's rms_norm/norm_epsilon config)."""
+    cfg = MambaLMConfig(vocab_size=32, d_model=16, n_layer=2,
+                        rms_norm=rms, residual_in_fp32=rms)
     model = MambaLM(cfg, scan_implementation="ref")
     tokens = jnp.array([[5, 7]], jnp.int32)
     variables = model.init(jax.random.PRNGKey(0), tokens)

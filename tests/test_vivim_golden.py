@@ -115,3 +115,35 @@ def test_mamba_lm_golden():
     model = MambaLM(cfg, scan_implementation="ref")
     got = model.apply({"params": params}, jnp.asarray(tokens.numpy()))
     np.testing.assert_allclose(np.asarray(got), want, rtol=1e-3, atol=1e-4)
+
+
+def test_mamba_lm_rms_norm_golden():
+    """rms_norm=True MambaLM (the norm real pretrained mamba checkpoints
+    use: MixerModel rms_norm option, mixer_seq_simple.py:25,37; Triton
+    ``rms_norm_ref`` semantics) == the torch twin on converted weights —
+    including the weight-only norm through the converter's ``_ln`` and
+    residual_in_fp32 (a no-op in this all-fp32 test, exercised for trace
+    validity)."""
+    from tests.torch_vivim_ref import MambaLMRefTorch
+    from vivim_tpu.nn.lm import MambaLM, MambaLMConfig
+
+    torch.manual_seed(5)
+    vocab, d_model, n_layer = 48, 32, 2
+    ref = MambaLMRefTorch(vocab, d_model, n_layer, rms_norm=True).eval()
+    # perturb the norm weights away from init-ones so the test has teeth
+    with torch.no_grad():
+        for name, p in ref.named_parameters():
+            if "norm" in name:
+                p.add_(0.1 * torch.randn_like(p))
+    params = cv.mamba_lm_params_from_torch(ref.state_dict(), n_layer)
+    assert "bias" not in params["norm_0"]  # weight-only RMSNorm tree
+
+    tokens = torch.randint(0, vocab, (2, 9))
+    with torch.no_grad():
+        want = ref(tokens).numpy()
+
+    cfg = MambaLMConfig(vocab_size=vocab, d_model=d_model, n_layer=n_layer,
+                        rms_norm=True, residual_in_fp32=True)
+    model = MambaLM(cfg, scan_implementation="ref")
+    got = model.apply({"params": params}, jnp.asarray(tokens.numpy()))
+    np.testing.assert_allclose(np.asarray(got), want, rtol=1e-3, atol=1e-4)

@@ -317,21 +317,40 @@ class MambaSimpleRefTorch(nn.Module):
 
 
 class _LMBlockRefTorch(nn.Module):
-    def __init__(self, d_model, d_state, d_conv, expand, norm_epsilon):
+    def __init__(self, d_model, d_state, d_conv, expand, norm_epsilon,
+                 rms_norm=False):
         super().__init__()
-        self.norm = nn.LayerNorm(d_model, eps=norm_epsilon)
+        self.norm = (_RMSNormRefTorch(d_model, eps=norm_epsilon) if rms_norm
+                     else nn.LayerNorm(d_model, eps=norm_epsilon))
         self.mixer = MambaSimpleRefTorch(d_model, d_state, d_conv, expand)
+
+
+class _RMSNormRefTorch(nn.Module):
+    """RMSNorm twin of the reference Triton kernel's semantics
+    (ops/triton/layernorm.py:35-48 ``rms_norm_ref``: x·rsqrt(mean(x²)+eps)
+    ·weight, weight only — the norm real mamba LM checkpoints use)."""
+
+    def __init__(self, d_model, eps=1e-5):
+        super().__init__()
+        self.eps = eps
+        self.weight = nn.Parameter(torch.ones(d_model))
+
+    def forward(self, x):
+        rstd = torch.rsqrt(x.square().mean(dim=-1, keepdim=True) + self.eps)
+        return x * rstd * self.weight
 
 
 class _LMBackboneRefTorch(nn.Module):
     def __init__(self, vocab, d_model, n_layer, d_state, d_conv, expand,
-                 norm_epsilon):
+                 norm_epsilon, rms_norm=False):
         super().__init__()
         self.embedding = nn.Embedding(vocab, d_model)
         self.layers = nn.ModuleList(
-            _LMBlockRefTorch(d_model, d_state, d_conv, expand, norm_epsilon)
+            _LMBlockRefTorch(d_model, d_state, d_conv, expand, norm_epsilon,
+                             rms_norm)
             for _ in range(n_layer))
-        self.norm_f = nn.LayerNorm(d_model, eps=norm_epsilon)
+        self.norm_f = (_RMSNormRefTorch(d_model, eps=norm_epsilon) if rms_norm
+                       else nn.LayerNorm(d_model, eps=norm_epsilon))
 
 
 class MambaLMRefTorch(nn.Module):
@@ -343,10 +362,11 @@ class MambaLMRefTorch(nn.Module):
     ``convert.torch_to_jax.mamba_lm_params_from_torch`` consumes it."""
 
     def __init__(self, vocab, d_model, n_layer, d_state=16, d_conv=4,
-                 expand=2, norm_epsilon=1e-5):
+                 expand=2, norm_epsilon=1e-5, rms_norm=False):
         super().__init__()
         self.backbone = _LMBackboneRefTorch(
-            vocab, d_model, n_layer, d_state, d_conv, expand, norm_epsilon)
+            vocab, d_model, n_layer, d_state, d_conv, expand, norm_epsilon,
+            rms_norm)
         nn.init.normal_(self.backbone.embedding.weight, std=0.02)
 
     def forward(self, tokens):

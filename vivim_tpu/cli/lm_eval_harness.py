@@ -149,16 +149,27 @@ def build_wrapper(model, params, tokenizer, **core_kw):
     return MambaEvalWrapper()
 
 
-def load_lm(ckpt, vocab_size, d_model, n_layer):
+def load_lm(ckpt, vocab_size, d_model, n_layer, hf_dir=None):
     """Build a MambaLM and load params from a torch state-dict file (via
-    mamba_lm_params_from_torch) or random-init when ckpt is None."""
+    mamba_lm_params_from_torch), from a local HF snapshot directory
+    (``hf_dir`` with config.json + pytorch_model.bin — the
+    ``MambaLMHeadModel.from_pretrained`` surface, zero-egress variant:
+    config keys incl. rms_norm/residual_in_fp32 are honored), or
+    random-init when both are None."""
     import jax
     import jax.numpy as jnp
 
-    from vivim_tpu.nn.lm import MambaLM, MambaLMConfig
+    from vivim_tpu.nn.lm import MambaLM, MambaLMConfig, config_from_mamba_json
 
-    cfg = MambaLMConfig(vocab_size=vocab_size, d_model=d_model,
-                        n_layer=n_layer)
+    if hf_dir:
+        import os
+
+        with open(os.path.join(hf_dir, "config.json")) as f:
+            cfg = config_from_mamba_json(json.load(f))
+        ckpt = ckpt or os.path.join(hf_dir, "pytorch_model.bin")
+    else:
+        cfg = MambaLMConfig(vocab_size=vocab_size, d_model=d_model,
+                            n_layer=n_layer)
     model = MambaLM(cfg)
     if ckpt:
         import torch
@@ -168,7 +179,7 @@ def load_lm(ckpt, vocab_size, d_model, n_layer):
         sd = torch.load(ckpt, map_location="cpu", weights_only=True)
         if "state_dict" in sd:
             sd = sd["state_dict"]
-        params = {"params": mamba_lm_params_from_torch(sd, n_layer)}
+        params = {"params": mamba_lm_params_from_torch(sd, cfg.n_layer)}
     else:
         toks = jnp.ones((1, 8), jnp.int32)
         params = jax.jit(model.init)(jax.random.PRNGKey(0), toks)
@@ -181,6 +192,9 @@ def main(argv=None):
                    help="comma-separated lm_eval task names")
     p.add_argument("--ckpt", type=str, default=None,
                    help="torch state-dict checkpoint (HF mamba layout)")
+    p.add_argument("--hf_dir", type=str, default=None,
+                   help="local HF mamba snapshot dir (config.json + "
+                        "pytorch_model.bin); overrides the dim flags")
     p.add_argument("--tokenizer", type=str,
                    default="EleutherAI/gpt-neox-20b")
     p.add_argument("--vocab", type=int, default=50277)
@@ -207,7 +221,7 @@ def main(argv=None):
 
     tokenizer = AutoTokenizer.from_pretrained(args.tokenizer)
     model, params = load_lm(args.ckpt, args.vocab, args.d_model,
-                            args.n_layer)
+                            args.n_layer, hf_dir=args.hf_dir)
     wrapper = build_wrapper(model, params, tokenizer,
                             max_gen_toks=args.max_gen_toks,
                             tp_shards=args.tp_shards)

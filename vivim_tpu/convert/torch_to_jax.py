@@ -41,8 +41,13 @@ def _conv(sd, prefix, depthwise=False):
 
 
 def _ln(sd, prefix):
-    return {"scale": _np(sd[f"{prefix}.weight"]),
-            "bias": _np(sd[f"{prefix}.bias"])}
+    """LayerNorm {weight, bias} -> {scale, bias}; an RMSNorm (weight only,
+    e.g. rms_norm=True mamba LM checkpoints) maps to {scale} — the flax
+    ``nn.RMSNorm`` param tree."""
+    out = {"scale": _np(sd[f"{prefix}.weight"])}
+    if f"{prefix}.bias" in sd:
+        out["bias"] = _np(sd[f"{prefix}.bias"])
+    return out
 
 
 def segformer_encoder_params_from_torch(sd, cfg, prefix="segformer.encoder"):

@@ -112,16 +112,36 @@ class DataLoader:
         stop = threading.Event()
 
         def produce():
+            # submissions are windowed to ``prefetch + 1`` batches ahead of
+            # the consumer: submitting the whole epoch upfront would let the
+            # pool run ALL loads regardless of queue backpressure, pinning
+            # every decoded clip of the epoch in future results (~GBs)
             try:
+                from collections import deque
+
                 with ThreadPoolExecutor(self.num_workers) as pool:
-                    futs = [
-                        [pool.submit(self.dataset.load_clip, i, self._rng_for(i))
-                         for i in bidx]
-                        for bidx in batches]
-                    for fb in futs:
+                    window = max(1, self.prefetch) + 1
+                    pending: deque = deque()
+                    it = iter(batches)
+
+                    def submit_next():
+                        bidx = next(it, None)
+                        if bidx is None:
+                            return False
+                        pending.append(
+                            [pool.submit(self.dataset.load_clip, i,
+                                         self._rng_for(i)) for i in bidx])
+                        return True
+
+                    for _ in range(window):
+                        if not submit_next():
+                            break
+                    while pending:
                         if stop.is_set():
                             return
+                        fb = pending.popleft()
                         out_q.put(self._collate([f.result() for f in fb]))
+                        submit_next()
             except Exception as e:  # surface worker errors to the consumer
                 out_q.put(e)
             finally:

@@ -38,11 +38,41 @@ class MambaLMConfig:
     expand: int = 2
     pad_vocab_multiple: int = 8
     initializer_range: float = 0.02
+    # MixerModel norm options (mixer_seq_simple.py:24-27,90-94).  Real
+    # pretrained mamba checkpoints (state-spaces/mamba-*) set rms_norm=True
+    # and residual_in_fp32=True.  The reference's ``fused_add_norm`` is a
+    # Triton kernel-fusion detail with identical math — XLA fuses the
+    # residual add into the norm on its own, so it has no flag here.
+    rms_norm: bool = False
+    norm_epsilon: float = 1e-5
+    residual_in_fp32: bool = False
 
     @property
     def padded_vocab(self):
         m = self.pad_vocab_multiple
         return ((self.vocab_size + m - 1) // m) * m
+
+
+def config_from_mamba_json(d: dict, **overrides) -> MambaLMConfig:
+    """MambaLMConfig from a mamba HF-snapshot ``config.json`` dict — the
+    key map ``MambaLMHeadModel.from_pretrained`` consumes via
+    ``load_config_hf`` (mamba/mamba_ssm/utils/hf.py:9-13,
+    mixer_seq_simple.py:173-191).  Real checkpoints (state-spaces/mamba-*)
+    set rms_norm=true / residual_in_fp32=true / pad_vocab_size_multiple=8.
+    """
+    ssm = d.get("ssm_cfg") or {}
+    kw = dict(
+        vocab_size=d["vocab_size"], d_model=d["d_model"],
+        n_layer=d["n_layer"],
+        d_state=ssm.get("d_state", 16), d_conv=ssm.get("d_conv", 4),
+        expand=ssm.get("expand", 2),
+        pad_vocab_multiple=d.get("pad_vocab_size_multiple", 8),
+        rms_norm=d.get("rms_norm", False),
+        norm_epsilon=d.get("norm_epsilon", 1e-5),
+        residual_in_fp32=d.get("residual_in_fp32", False),
+    )
+    kw.update(overrides)
+    return MambaLMConfig(**kw)
 
 
 class MambaLM(nn.Module):
@@ -57,6 +87,14 @@ class MambaLM(nn.Module):
             scan_implementation=self.scan_implementation,
             name=f"mixer_{i}")
 
+    def _norm(self, name):
+        # reference norm_epsilon=1e-5 (mixer_seq_simple.py:24,90) — NOT
+        # flax's 1e-6 default; with embedding-scale variances (~4e-4)
+        # the eps choice shifts post-norm activations by ~1%
+        if self.cfg.rms_norm:
+            return nn.RMSNorm(epsilon=self.cfg.norm_epsilon, name=name)
+        return nn.LayerNorm(epsilon=self.cfg.norm_epsilon, name=name)
+
     @nn.compact
     def __call__(self, tokens):
         """tokens (B, L) int32 -> logits (B, L, padded_vocab)."""
@@ -66,15 +104,17 @@ class MambaLM(nn.Module):
             nn.initializers.normal(cfg.initializer_range),
             (cfg.padded_vocab, cfg.d_model))
         h = emb[tokens]
+        dtype = h.dtype
+        if cfg.residual_in_fp32:
+            # the residual stream accumulates in fp32 while the mixers run
+            # in the compute dtype (Block.forward, mamba_simple.py:480-489)
+            h = h.astype(jnp.float32)
         for i in range(cfg.n_layer):
             res = h
-            # reference norm_epsilon=1e-5 (mixer_seq_simple.py:24,90) — NOT
-            # flax's 1e-6 default; with embedding-scale variances (~4e-4)
-            # the eps choice shifts post-norm activations by ~1%
-            h = nn.LayerNorm(epsilon=1e-5, name=f"norm_{i}")(h)
-            h = self._mixer(i)(h)
-            h = res + h
-        h = nn.LayerNorm(epsilon=1e-5, name="norm_f")(h)
+            hn = self._norm(f"norm_{i}")(h).astype(dtype)
+            out = self._mixer(i)(hn)
+            h = res + out.astype(res.dtype)
+        h = self._norm("norm_f")(h).astype(dtype)
         return h @ emb.T  # tied lm_head (mixer_seq_simple.py:193-204)
 
 
@@ -101,6 +141,23 @@ def layer_norm(np_, h, eps=1e-5):
     var = ((h - mean) ** 2).mean(-1, keepdims=True)
     hn = (h - mean) * jax.lax.rsqrt(var + eps)
     return hn * np_["scale"] + np_["bias"]
+
+
+def rms_norm(np_, h, eps=1e-5):
+    """Functional twin of ``nn.RMSNorm`` (the reference's Triton
+    ``rms_norm_ref``, ops/triton/layernorm.py:35-48: x·rsqrt(mean(x²)+eps)
+    ·weight, no bias) from a ``{"scale"}`` param dict."""
+    hn = h * jax.lax.rsqrt(jnp.mean(h * h, -1, keepdims=True) + eps)
+    return hn * np_["scale"]
+
+
+def norm_fn_for(cfg):
+    """The functional norm matching ``MambaLM``'s config (shared by
+    ``generate`` and the tensor-parallel forwards)."""
+    import functools
+
+    fn = rms_norm if getattr(cfg, "rms_norm", False) else layer_norm
+    return functools.partial(fn, eps=getattr(cfg, "norm_epsilon", 1e-5))
 
 
 def _sample_logits(rng, logits, temperature, top_k, top_p):
@@ -146,19 +203,23 @@ def generate(model: MambaLM, params, tokens, max_new_tokens, rng=None,
     def layer_params(i):
         return p[f"mixer_{i}"], p[f"norm_{i}"]
 
-    apply_norm = layer_norm
+    apply_norm = norm_fn_for(cfg)
+    dtype = emb.dtype
+
+    def residual(h):
+        return h.astype(jnp.float32) if cfg.residual_in_fp32 else h
 
     # ---- prefill over the prompt ----
-    h = emb[tokens]
+    h = residual(emb[tokens])
     conv_states, ssm_states = [], []
     for i in range(cfg.n_layer):
         mp, np_ = layer_params(i)
         res = h
-        out, cs, ss = mixer_prefill(mp, apply_norm(np_, h))
-        h = res + out
+        out, cs, ss = mixer_prefill(mp, apply_norm(np_, h).astype(dtype))
+        h = res + out.astype(h.dtype)
         conv_states.append(cs)
         ssm_states.append(ss)
-    h = apply_norm(p["norm_f"], h)
+    h = apply_norm(p["norm_f"], h).astype(dtype)
     last_logits = h[:, -1] @ emb.T
     conv_states = jnp.stack(conv_states)
     ssm_states = jnp.stack(ssm_states)
@@ -170,17 +231,18 @@ def generate(model: MambaLM, params, tokens, max_new_tokens, rng=None,
         if eos_token_id is not None:
             next_tok = jnp.where(done, eos_token_id, next_tok)
             done = done | (next_tok == eos_token_id)
-        h = emb[next_tok]
+        h = residual(emb[next_tok])
         new_cs, new_ss = [], []
         for i in range(cfg.n_layer):
             mp, np_ = layer_params(i)
             res = h
             out, cs, ss = mixer_step(
-                mp, apply_norm(np_, h), conv_states[i], ssm_states[i])
-            h = res + out
+                mp, apply_norm(np_, h).astype(dtype), conv_states[i],
+                ssm_states[i])
+            h = res + out.astype(h.dtype)
             new_cs.append(cs)
             new_ss.append(ss)
-        h = apply_norm(p["norm_f"], h)
+        h = apply_norm(p["norm_f"], h).astype(dtype)
         logits = h @ emb.T
         return (rng, logits, jnp.stack(new_cs), jnp.stack(new_ss), done), next_tok
 

@@ -294,14 +294,18 @@ def lm_tp_forward(cfg, params, tokens, mesh: Mesh,
     from vivim_tpu.nn import lm as lm_lib
 
     p = params["params"] if "params" in params else params
+    apply_norm = lm_lib.norm_fn_for(cfg)
     emb = p["embedding"]
+    dtype = emb.dtype
     h = emb[tokens]
+    if getattr(cfg, "residual_in_fp32", False):
+        h = h.astype(jnp.float32)
     for i in range(cfg.n_layer):
         res = h
-        h = lm_lib.layer_norm(p[f"norm_{i}"], h)
+        h = apply_norm(p[f"norm_{i}"], h).astype(dtype)
         h = tp_mamba_mixer(p[f"mixer_{i}"], h, mesh, axis_name=axis_name,
                            batch_axis=batch_axis,
                            implementation=implementation)
-        h = res + h
-    h = lm_lib.layer_norm(p["norm_f"], h)
+        h = res + h.astype(res.dtype)
+    h = apply_norm(p["norm_f"], h).astype(dtype)
     return h @ emb.T

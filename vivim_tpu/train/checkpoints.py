@@ -54,11 +54,17 @@ class CheckpointManager:
         score = metrics.get(self.monitor)
         if self.save_last:
             self._ckptr.save(self._path(f"last_{step}"), state, force=True)
-            # prune older "last"
-            for d in os.listdir(self.directory):
-                s_ = self._step_of(d, "last_") if d.startswith("last_") else None
-                if s_ is not None and s_ != step:
-                    _rmtree(self._path(d))
+            # prune older "last" — but keep the newest PREVIOUS one: the save
+            # above is async (committed by an atomic rename only when it
+            # finishes), so deleting the previous last before the new one is
+            # durable would leave a crash window with no checkpoint at all
+            prev = sorted(
+                s_ for d in os.listdir(self.directory)
+                if d.startswith("last_")
+                and (s_ := self._step_of(d, "last_")) is not None
+                and s_ != step)
+            for s_ in prev[:-1]:
+                _rmtree(self._path(f"last_{s_}"))
         if score is None:
             return False
         score = float(score)

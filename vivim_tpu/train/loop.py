@@ -146,7 +146,8 @@ def cast_floating(tree, dtype):
 
 def make_train_step(model, loss_fn: Callable | str = "recall_focused",
                     num_classes: int = 3, tx=None, edge_loss_fn=None,
-                    compute_dtype=None, grad_accum: int = 1):
+                    compute_dtype=None, grad_accum: int = 1,
+                    donate: bool = False):
     """Returns a jitted train step: (state, batch) -> (state, metrics).
 
     ``batch``: dict with clip (B, T, H, W, 3), masks (B, T, H, W, C)
@@ -169,12 +170,22 @@ def make_train_step(model, loss_fn: Callable | str = "recall_focused",
     through the scan — equivalent to ``grad_accum`` sequential BN updates,
     not one update at the full batch (the same semantics torch gets when
     accumulating).
+
+    ``donate``: donate the incoming train state's buffers to the step —
+    XLA aliases them into the returned state instead of double-buffering
+    params + optimizer state (~0.9 GB at the 60M-param bench config, the
+    margin that decides whether bs=16 fits HBM).  The caller must not
+    touch the OLD state object after the call; the epoch-loop pattern
+    ``state, m = step(state, batch)`` is safe by construction.
     """
     if isinstance(loss_fn, str):
         loss_fn = losses_lib.LOSSES[loss_fn]
     with_edge = edge_loss_fn is not None
     if grad_accum < 1:
         raise ValueError(f"grad_accum must be >= 1, got {grad_accum}")
+    import functools
+    jit_step = (functools.partial(jax.jit, donate_argnums=0) if donate
+                else jax.jit)
 
     def compute_loss(params, batch, batch_stats, rng):
         clip = batch["clip"]
@@ -217,7 +228,7 @@ def make_train_step(model, loss_fn: Callable | str = "recall_focused",
         }
         return new_state, metrics
 
-    @jax.jit
+    @jit_step
     def step(state: TrainState, batch):
         rng, new_rng = jax.random.split(jax.random.fold_in(
             state.rng, state.step))
@@ -228,7 +239,7 @@ def make_train_step(model, loss_fn: Callable | str = "recall_focused",
                       jaccard_counts(logits, targets, num_classes),
                       grads, updates["batch_stats"])
 
-    @jax.jit
+    @jit_step
     def step_accum(state: TrainState, batch):
         B = batch["clip"].shape[0]
         if B % grad_accum != 0:

@@ -91,10 +91,14 @@ class Trainer:
             cfg.lr, cfg.weight_decay, self.total_steps,
             decay_mask=cfg.decay_mask)
         compute_dtype = jnp.bfloat16 if cfg.bf16 else None
+        # donate the carried state: the trainer only ever holds the newest
+        # state, so XLA can alias params/opt buffers in place instead of
+        # double-buffering them (~0.9 GB at the 60M-param config)
         self.train_step = loop_lib.make_train_step(
             model, cfg.loss, cfg.num_classes, self.tx,
             edge_loss_fn=edge_loss_fn if with_edge else None,
-            compute_dtype=compute_dtype, grad_accum=cfg.grad_accum)
+            compute_dtype=compute_dtype, grad_accum=cfg.grad_accum,
+            donate=True)
         self.eval_step = loop_lib.make_eval_step(
             model, cfg.loss, cfg.num_classes, with_edge=with_edge,
             compute_dtype=compute_dtype,
