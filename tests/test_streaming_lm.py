@@ -188,3 +188,35 @@ def test_generate_greedy_matches_full_forward_replay(rms):
         nxt = jnp.argmax(logits[:, -1], axis=-1)[:, None]
         seq = jnp.concatenate([seq, nxt], axis=1)
     np.testing.assert_array_equal(np.asarray(out), np.asarray(seq))
+
+
+def test_generate_teacher_forcing_and_scores():
+    """``teacher_outputs`` forces the emitted tokens (generation.py:164-168)
+    and ``output_scores`` returns, per step, exactly the logits the full
+    parallel forward produces at that position (generation.py:199-205) —
+    teacher positions past the teacher length fall back to sampling."""
+    cfg = MambaLMConfig(vocab_size=32, d_model=16, n_layer=2)
+    model = MambaLM(cfg, scan_implementation="ref")
+    prompt = jnp.array([[5, 7, 2]], jnp.int32)
+    params = model.init(jax.random.PRNGKey(0), prompt)["params"]
+
+    # teacher covers prompt + 3 of the 5 generated positions
+    teacher = jnp.array([[5, 7, 2, 11, 0, 23]], jnp.int32)
+    out, scores = generate(
+        model, {"params": params}, prompt, max_new_tokens=5,
+        temperature=0.0, teacher_outputs=teacher, output_scores=True)
+    assert out.shape == (1, 8) and scores.shape == (1, 5, cfg.padded_vocab)
+    # forced positions come from the teacher verbatim
+    np.testing.assert_array_equal(np.asarray(out[:, 3:6]),
+                                  np.asarray(teacher[:, 3:6]))
+    # beyond the teacher: greedy over the scores at that step
+    np.testing.assert_array_equal(
+        np.asarray(out[:, 6:]),
+        np.asarray(jnp.argmax(scores[:, 3:], axis=-1)))
+    # scores[t] == parallel-forward logits at the position that emitted
+    # token t (the decode cache must track the forced tokens, not the
+    # would-have-been samples)
+    full_logits = model.apply({"params": params}, out[:, :-1])
+    np.testing.assert_allclose(np.asarray(scores),
+                               np.asarray(full_logits[:, 2:]),
+                               rtol=2e-3, atol=2e-3)

@@ -181,10 +181,20 @@ def _sample_logits(rng, logits, temperature, top_k, top_p):
 
 def generate(model: MambaLM, params, tokens, max_new_tokens, rng=None,
              temperature=1.0, top_k=0, top_p=1.0, eos_token_id=None,
-             mixer_prefill=None, mixer_step=None):
+             mixer_prefill=None, mixer_step=None, teacher_outputs=None,
+             output_scores=False):
     """Prefill + jitted scan decode.
 
-    Args: tokens (B, L0) prompt.  Returns (B, L0 + max_new_tokens) tokens.
+    Args: tokens (B, L0) prompt.  Returns (B, L0 + max_new_tokens) tokens,
+    or ``(tokens, scores)`` with scores (B, max_new_tokens, vocab) when
+    ``output_scores=True`` — ``scores[:, t]`` are the logits that produced
+    token t, the reference's ``output_scores``/``scores`` contract
+    (generation.py:199-205,214-223).
+
+    ``teacher_outputs`` (B, L_teacher): positions < L_teacher of the FULL
+    sequence (prompt included) are forced from it instead of sampled,
+    later positions fall back to sampling — the reference's test hook
+    (generation.py:101,116-117,164-168).
 
     ``mixer_prefill`` / ``mixer_step`` override the per-mixer prefill and
     decode-step functions (default: ``streaming.mamba_prefill`` /
@@ -224,10 +234,17 @@ def generate(model: MambaLM, params, tokens, max_new_tokens, rng=None,
     conv_states = jnp.stack(conv_states)
     ssm_states = jnp.stack(ssm_states)
 
-    def step(carry, _):
+    prompt_len = tokens.shape[1]
+
+    def step(carry, t):
         rng, logits, conv_states, ssm_states, done = carry
         rng, sub = jax.random.split(rng)
         next_tok = _sample_logits(sub, logits, temperature, top_k, top_p)
+        if teacher_outputs is not None:
+            tlen = teacher_outputs.shape[1]
+            pos = prompt_len + t
+            forced = teacher_outputs[:, jnp.minimum(pos, tlen - 1)]
+            next_tok = jnp.where(pos < tlen, forced, next_tok)
         if eos_token_id is not None:
             next_tok = jnp.where(done, eos_token_id, next_tok)
             done = done | (next_tok == eos_token_id)
@@ -243,10 +260,16 @@ def generate(model: MambaLM, params, tokens, max_new_tokens, rng=None,
             new_cs.append(cs)
             new_ss.append(ss)
         h = apply_norm(p["norm_f"], h).astype(dtype)
-        logits = h @ emb.T
-        return (rng, logits, jnp.stack(new_cs), jnp.stack(new_ss), done), next_tok
+        new_logits = h @ emb.T
+        new_carry = (rng, new_logits, jnp.stack(new_cs), jnp.stack(new_ss),
+                     done)
+        return new_carry, ((next_tok, logits) if output_scores else next_tok)
 
     done0 = jnp.zeros((tokens.shape[0],), bool)
     carry = (rng, last_logits, conv_states, ssm_states, done0)
-    _, new_tokens = jax.lax.scan(step, carry, None, length=max_new_tokens)
-    return jnp.concatenate([tokens, jnp.moveaxis(new_tokens, 0, 1)], axis=1)
+    _, out = jax.lax.scan(step, carry, jnp.arange(max_new_tokens))
+    new_tokens = out[0] if output_scores else out
+    full = jnp.concatenate([tokens, jnp.moveaxis(new_tokens, 0, 1)], axis=1)
+    if output_scores:
+        return full, jnp.moveaxis(out[1], 0, 1)
+    return full
