@@ -3,11 +3,16 @@
 Equivalent of /root/reference/mamba/benchmarks/
 benchmark_generation_mamba_simple.py:17-90: times prompt prefill + token
 decode for a MambaLM and reports tokens/sec (the jitted lax.scan decode
-replaces the CUDA-graph replay).
+replaces the CUDA-graph replay).  Like the reference, it can run a real
+checkpoint (``--hf_dir`` local snapshot / ``--ckpt``, the zero-egress
+``--model-name`` analogue) and a real ``--prompt`` through a tokenizer,
+printing the decoded continuation.
 
 Usage:
   python -m vivim_tpu.cli.bench_generation --d_model 768 --n_layer 24 \\
       --promptlen 128 --genlen 128
+  python -m vivim_tpu.cli.bench_generation --hf_dir /path/snapshot \\
+      --prompt "My cat wrote all this CUDA code for a new language model"
 """
 
 from __future__ import annotations
@@ -22,6 +27,18 @@ def main(argv=None):
     p.add_argument("--vocab", type=int, default=50277)
     p.add_argument("--d_model", type=int, default=768)
     p.add_argument("--n_layer", type=int, default=24)
+    p.add_argument("--hf_dir", type=str, default=None,
+                   help="local HF mamba snapshot dir (config.json + "
+                        "pytorch_model.bin); overrides the dim flags — the "
+                        "reference's --model-name, zero-egress variant")
+    p.add_argument("--ckpt", type=str, default=None,
+                   help="torch state-dict checkpoint (HF mamba layout)")
+    p.add_argument("--prompt", type=str, default=None,
+                   help="text prompt; needs --tokenizer, prints the decoded "
+                        "continuation (benchmark_generation_mamba_simple.py:19,"
+                        "33-43,88)")
+    p.add_argument("--tokenizer", type=str, default=None,
+                   help="HF tokenizer name/path for --prompt")
     p.add_argument("--promptlen", type=int, default=128)
     p.add_argument("--genlen", type=int, default=128)
     p.add_argument("--batch", type=int, default=1)
@@ -37,13 +54,23 @@ def main(argv=None):
     import jax
     import jax.numpy as jnp
 
-    from vivim_tpu.nn.lm import MambaLM, MambaLMConfig, generate
+    from vivim_tpu.cli.lm_eval_harness import load_lm
+    from vivim_tpu.nn.lm import generate
 
-    cfg = MambaLMConfig(vocab_size=args.vocab, d_model=args.d_model,
-                        n_layer=args.n_layer)
-    model = MambaLM(cfg)
-    tokens = jnp.ones((args.batch, args.promptlen), jnp.int32)
-    variables = jax.jit(model.init)(jax.random.PRNGKey(0), tokens)
+    model, variables = load_lm(args.ckpt, args.vocab, args.d_model,
+                               args.n_layer, hf_dir=args.hf_dir)
+
+    tokenizer = None
+    if args.prompt is not None:
+        if args.tokenizer is None:
+            raise SystemExit("--prompt needs --tokenizer")
+        from transformers import AutoTokenizer
+
+        tokenizer = AutoTokenizer.from_pretrained(args.tokenizer)
+        ids = tokenizer.encode(args.prompt)
+        tokens = jnp.asarray([ids] * args.batch, jnp.int32)
+    else:
+        tokens = jnp.ones((args.batch, args.promptlen), jnp.int32)
 
     if args.tp_shards > 1:
         from vivim_tpu.parallel.mesh import make_mesh
@@ -58,20 +85,30 @@ def main(argv=None):
         gen = jax.jit(lambda params, toks: generate(
             model, params, toks, args.genlen, rng=jax.random.PRNGKey(1),
             temperature=args.temperature, top_k=args.topk, top_p=args.topp))
+
+    # NOTE: block_until_ready does not synchronize through the axon TPU
+    # tunnel — timing must force a device->host VALUE fetch instead.
+    def fetch(o):
+        return int(jnp.sum(o[:, -1]))
+
     out = gen(variables, tokens)  # compile
-    out.block_until_ready()
+    fetch(out)
     t0 = time.time()
     for _ in range(args.repeats):
         out = gen(variables, tokens)
-    out.block_until_ready()
+    fetch(out)
     dt = (time.time() - t0) / args.repeats
     print(json.dumps({
-        "prompt_len": args.promptlen,
+        "prompt_len": int(tokens.shape[1]),
         "gen_len": args.genlen,
         "batch": args.batch,
         "total_sec": round(dt, 4),
         "tokens_per_sec": round(args.batch * args.genlen / dt, 2),
     }))
+    if tokenizer is not None:
+        import numpy as np
+
+        print(tokenizer.batch_decode(np.asarray(out))[0])
 
 
 if __name__ == "__main__":
