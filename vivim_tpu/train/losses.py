@@ -208,28 +208,79 @@ LOSSES = {
 # ---------------------------------------------------------------------------
 
 
-def mask_iou_loss(pred, mask, eps=1e-7):
-    """1 - soft IoU over sigmoid predictions (loss.py mask_iou)."""
-    p = jax.nn.sigmoid(pred.astype(jnp.float32)).reshape(pred.shape[0], -1)
-    m = mask.astype(jnp.float32).reshape(mask.shape[0], -1)
-    inter = jnp.sum(p * m, axis=1)
-    union = jnp.sum(p + m - p * m, axis=1)
-    return jnp.mean(1.0 - (inter + eps) / (union + eps))
+def mask_iou(pred, target, averaged=True):
+    """min/max mask IoU over (N, H, W) soft masks — loss.py:4-22 (NOT the
+    product/sum soft IoU: the reference intersects with elementwise min and
+    unions with elementwise max, no eps)."""
+    p = pred.astype(jnp.float32).reshape(pred.shape[0], -1)
+    t = target.astype(jnp.float32).reshape(target.shape[0], -1)
+    inter = jnp.sum(jnp.minimum(p, t), axis=1)
+    union = jnp.sum(jnp.maximum(p, t), axis=1)
+    iou = inter / union
+    return jnp.mean(iou) if averaged else iou
 
 
-def bootstrapped_ce_loss(logits, targets, num_classes=None, ratio=0.15):
-    """Bootstrapped cross entropy: average over the hardest ``ratio``
-    fraction of pixels (loss.py bootstrap CE)."""
-    C = num_classes or logits.shape[-1]
-    logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
-    nll = -jnp.take_along_axis(logp, targets[..., None], axis=-1)[..., 0]
-    flat = nll.reshape(nll.shape[0], -1)
-    k = max(int(flat.shape[1] * ratio), 1)
-    topk = jax.lax.top_k(flat, k)[0]
-    return jnp.mean(topk)
+def mask_iou_loss(pred, mask, num_object, ref=None):
+    """Per-sample mean of (1 - mask_iou) over object channels — loss.py:61-77.
+
+    pred/mask: (N, K, H, W); channels [start, start+num_object) are scored,
+    where start=0 iff K == num_object (the reference's background-channel
+    skip).  ``ref`` (N, K', H, W): channel c is counted only when
+    ref[i, start+c] has any foreground (the reference's `valid` gating,
+    realized as a masked mean)."""
+    N, K = mask.shape[:2]
+    start = 0 if K == num_object else 1
+    p = pred[:, start:num_object + start].astype(jnp.float32)
+    m = mask[:, start:num_object + start].astype(jnp.float32)
+    inter = jnp.sum(jnp.minimum(p, m), axis=(2, 3))
+    union = jnp.sum(jnp.maximum(p, m), axis=(2, 3))
+    obj_loss = 1.0 - inter / union  # (N, num_object)
+    if ref is not None:
+        valid = (jnp.sum(ref.reshape(ref.shape[0], ref.shape[1], -1),
+                         axis=-1) > 0)[:, start:].astype(jnp.float32)
+        per_sample = jnp.sum(obj_loss * valid, axis=1) / jnp.maximum(
+            jnp.sum(valid, axis=1), 1.0)
+    else:
+        per_sample = jnp.mean(obj_loss, axis=1)
+    return jnp.mean(per_sample)
 
 
-def smooth_l1_loss(pred, target, beta=1.0):
-    """Huber / smooth-L1 (loss.py smooth-L1)."""
+def binary_entropy_loss(pred, target, num_object=None, eps=0.001):
+    """Mean binary cross entropy over probabilities with the reference's
+    in-log eps — loss.py:24-32 (num_object is accepted-and-unused there
+    too)."""
+    p = pred.astype(jnp.float32)
+    t = target.astype(jnp.float32)
+    ce = -t * jnp.log(p + eps) - (1 - t) * jnp.log(1 - p + eps)
+    return jnp.mean(ce)
+
+
+def cross_entropy_loss(pred, mask, num_object, bootstrap=0.4, ref=None):
+    """Bootstrapped cross entropy over PROBABILITIES — loss.py:34-59.
+
+    pred: (N, K, H, W) softmaxed probabilities; mask: one-hot.  Per pixel:
+    sum over channels [0, num_object] of -log(pred)*mask (optionally zeroed
+    for channels whose ``ref`` has no foreground), then average the hardest
+    ``bootstrap`` fraction of pixels per sample."""
+    N, _, H, W = mask.shape
+    logp = -jnp.log(pred.astype(jnp.float32))
+    ce = logp[:, :num_object + 1] * mask[:, :num_object + 1].astype(
+        jnp.float32)
+    if ref is not None:
+        valid = (jnp.sum(ref.reshape(ref.shape[0], ref.shape[1], -1),
+                         axis=-1) > 0).astype(jnp.float32)
+        ce = ce * valid[:, :, None, None]
+    per_pixel = jnp.sum(ce, axis=1).reshape(N, -1)
+    num = int(H * W * bootstrap)
+    hardest = jax.lax.top_k(per_pixel, num)[0]
+    return jnp.mean(hardest)
+
+
+def smooth_l1_loss(pred, target, gamma=0.075):
+    """The reference's smooth-L1 — loss.py:79-83 — including its in-place
+    quirk: the second masked assignment re-tests diff AFTER the first one
+    shrank the >gamma entries, so |d| in (gamma, 1.5*gamma] gets BOTH
+    branches ((|d|-gamma/2)^2/(2*gamma)), not the usual Huber piecewise."""
     d = jnp.abs(pred.astype(jnp.float32) - target.astype(jnp.float32))
-    return jnp.mean(jnp.where(d < beta, 0.5 * d * d / beta, d - 0.5 * beta))
+    d1 = jnp.where(d > gamma, d - gamma / 2, d)
+    return jnp.mean(jnp.where(d1 <= gamma, d1 * d1 / (2 * gamma), d1))
