@@ -49,6 +49,16 @@ def main(argv=None):
     p.add_argument("--tp_shards", type=int, default=1,
                    help="tensor-parallel decode over a 'model' mesh axis "
                         "(sharded conv/ssm cache; parallel/tensor_parallel)")
+    p.add_argument("--dtype", type=str, default="float32",
+                   choices=["float32", "bfloat16"],
+                   help="weight/activation dtype for decode.  Single-token "
+                        "decode is HBM-bandwidth-bound (every weight is "
+                        "read once per token), so bfloat16 halves the "
+                        "per-token traffic — the TPU analogue of the "
+                        "reference benchmark's fp16 decode "
+                        "(benchmark_generation_mamba_simple.py:52).  The "
+                        "SSM state recurrence and A/D/dt_bias stay fp32 "
+                        "(the kernel numerics contract) either way")
     args = p.parse_args(argv)
 
     import jax
@@ -59,6 +69,10 @@ def main(argv=None):
 
     model, variables = load_lm(args.ckpt, args.vocab, args.d_model,
                                args.n_layer, hf_dir=args.hf_dir)
+    if args.dtype == "bfloat16":
+        from vivim_tpu.train.loop import cast_floating
+
+        variables = cast_floating(variables, jnp.bfloat16)
 
     tokenizer = None
     if args.prompt is not None:
@@ -104,6 +118,7 @@ def main(argv=None):
         "batch": args.batch,
         "total_sec": round(dt, 4),
         "tokens_per_sec": round(args.batch * args.genlen / dt, 2),
+        "dtype": args.dtype,
     }))
     if tokenizer is not None:
         import numpy as np
