@@ -50,15 +50,18 @@ def main(argv=None):
                    help="tensor-parallel decode over a 'model' mesh axis "
                         "(sharded conv/ssm cache; parallel/tensor_parallel)")
     p.add_argument("--dtype", type=str, default="float32",
-                   choices=["float32", "bfloat16"],
+                   choices=["float32", "bfloat16", "int8"],
                    help="weight/activation dtype for decode.  Single-token "
                         "decode is HBM-bandwidth-bound (every weight is "
                         "read once per token), so bfloat16 halves the "
                         "per-token traffic — the TPU analogue of the "
                         "reference benchmark's fp16 decode "
-                        "(benchmark_generation_mamba_simple.py:52).  The "
-                        "SSM state recurrence and A/D/dt_bias stay fp32 "
-                        "(the kernel numerics contract) either way")
+                        "(benchmark_generation_mamba_simple.py:52) — and "
+                        "int8 (weight-only, per-channel, nn/quant.py) "
+                        "halves the in/out-proj + tied-embedding traffic "
+                        "again with bf16 activations.  The SSM state "
+                        "recurrence and A/D/dt_bias stay fp32 (the kernel "
+                        "numerics contract) in every mode")
     args = p.parse_args(argv)
 
     import jax
@@ -69,10 +72,17 @@ def main(argv=None):
 
     model, variables = load_lm(args.ckpt, args.vocab, args.d_model,
                                args.n_layer, hf_dir=args.hf_dir)
-    if args.dtype == "bfloat16":
+    if args.dtype in ("bfloat16", "int8"):
         from vivim_tpu.train.loop import cast_floating
 
         variables = cast_floating(variables, jnp.bfloat16)
+    if args.dtype == "int8":
+        if args.tp_shards > 1:
+            raise SystemExit("--dtype int8 is single-device decode only "
+                             "(the TP island shards plain param trees)")
+        from vivim_tpu.nn.quant import quantize_lm_params
+
+        variables = quantize_lm_params(variables)
 
     tokenizer = None
     if args.prompt is not None:

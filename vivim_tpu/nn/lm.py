@@ -25,7 +25,7 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from vivim_tpu.nn.mamba import MambaV3
-from vivim_tpu.nn import streaming
+from vivim_tpu.nn import quant, streaming
 
 
 @dataclasses.dataclass(frozen=True)
@@ -208,19 +208,23 @@ def generate(model: MambaLM, params, tokens, max_new_tokens, rng=None,
     mixer_prefill = mixer_prefill or streaming.mamba_prefill
     mixer_step = mixer_step or streaming.mamba_step
 
+    # the embedding may be an int8 QTensor (nn/quant.quantize_lm_params):
+    # lookups dequantize the gathered rows, the tied lm_head runs the
+    # int8 x int8 MXU matmul — decode is HBM-bound, so int8 weights halve
+    # the per-token traffic vs bf16
     emb = p["embedding"]
 
     def layer_params(i):
         return p[f"mixer_{i}"], p[f"norm_{i}"]
 
     apply_norm = norm_fn_for(cfg)
-    dtype = emb.dtype
+    dtype = quant.param_dtype(emb)
 
     def residual(h):
         return h.astype(jnp.float32) if cfg.residual_in_fp32 else h
 
     # ---- prefill over the prompt ----
-    h = residual(emb[tokens])
+    h = residual(quant.embed_lookup(emb, tokens))
     conv_states, ssm_states = [], []
     for i in range(cfg.n_layer):
         mp, np_ = layer_params(i)
@@ -230,7 +234,7 @@ def generate(model: MambaLM, params, tokens, max_new_tokens, rng=None,
         conv_states.append(cs)
         ssm_states.append(ss)
     h = apply_norm(p["norm_f"], h).astype(dtype)
-    last_logits = h[:, -1] @ emb.T
+    last_logits = quant.lm_head(h[:, -1], emb)
     conv_states = jnp.stack(conv_states)
     ssm_states = jnp.stack(ssm_states)
 
@@ -248,7 +252,7 @@ def generate(model: MambaLM, params, tokens, max_new_tokens, rng=None,
         if eos_token_id is not None:
             next_tok = jnp.where(done, eos_token_id, next_tok)
             done = done | (next_tok == eos_token_id)
-        h = residual(emb[next_tok])
+        h = residual(quant.embed_lookup(emb, next_tok))
         new_cs, new_ss = [], []
         for i in range(cfg.n_layer):
             mp, np_ = layer_params(i)
@@ -260,7 +264,7 @@ def generate(model: MambaLM, params, tokens, max_new_tokens, rng=None,
             new_cs.append(cs)
             new_ss.append(ss)
         h = apply_norm(p["norm_f"], h).astype(dtype)
-        new_logits = h @ emb.T
+        new_logits = quant.lm_head(h, emb)
         new_carry = (rng, new_logits, jnp.stack(new_cs), jnp.stack(new_ss),
                      done)
         return new_carry, ((next_tok, logits) if output_scores else next_tok)

@@ -21,6 +21,7 @@ import jax.numpy as jnp
 from vivim_tpu.kernels.causal_conv1d import causal_conv1d, causal_conv1d_update
 from vivim_tpu.kernels.refs import selective_state_update_ref
 from vivim_tpu.kernels.selective_scan import selective_scan
+from vivim_tpu.nn.quant import matmul_t
 
 
 def allocate_cache(batch: int, d_model: int, d_state: int = 16,
@@ -32,7 +33,9 @@ def allocate_cache(batch: int, d_model: int, d_state: int = 16,
 
 
 def _split_proj(params, x):
-    xz = x @ params["in_proj_kernel"].T.astype(x.dtype)
+    # matmul_t dispatches on quantized (int8 QTensor) vs plain kernels —
+    # the int8 weight-only decode path (nn/quant.py) flows through here
+    xz = matmul_t(x, params["in_proj_kernel"])
     if "in_proj_bias" in params:
         xz = xz + params["in_proj_bias"]
     d_inner = xz.shape[-1] // 2
@@ -62,7 +65,7 @@ def mamba_step(params, x, conv_state, ssm_state):
         ssm_state, xw, dt, A, Bv, Cv, D=params["D"].astype(jnp.float32),
         z=z, dt_bias=params["dt_proj_bias"].astype(jnp.float32),
         dt_softplus=True)
-    out = y @ params["out_proj_kernel"].T.astype(y.dtype)
+    out = matmul_t(y, params["out_proj_kernel"])
     if "out_proj_bias" in params:
         out = out + params["out_proj_bias"]
     return out, conv_state, ssm_state
@@ -95,7 +98,7 @@ def mamba_prefill(params, x, implementation=None):
         delta_bias=params["dt_proj_bias"].astype(jnp.float32),
         delta_softplus=True, return_last_state=True,
         implementation=implementation)
-    out = jnp.einsum("bld,od->blo", y, params["out_proj_kernel"].astype(y.dtype))
+    out = matmul_t(y, params["out_proj_kernel"])
     if "out_proj_bias" in params:
         out = out + params["out_proj_bias"]
     return out, conv_state, ssm_state
