@@ -88,6 +88,44 @@ def test_mamba_step_quantized_close():
     assert _rel(qss, ss) < 5e-2
 
 
+def test_qtensor_survives_frozendict():
+    """QTensors must be detected through Mapping wrappers (flax freeze),
+    not just plain dicts (ADVICE r3)."""
+    from flax.core import freeze
+
+    w = jax.random.normal(jax.random.PRNGKey(4), (8, 16))
+    qt = freeze(quant.quantize_int8(w))
+    assert quant.is_qtensor(qt)
+    x = jax.random.normal(jax.random.PRNGKey(5), (3, 16))
+    assert _rel(quant.matmul_t(x, qt), x @ w.T) < 2e-2
+
+
+def test_scales_stay_fp32_from_bf16_weights():
+    """Quantizing a bf16 tensor must not bf16-round the scales (ADVICE r3);
+    and quantize_lm_params(activation_dtype=bf16) quantizes targets from
+    fp32 while casting the rest."""
+    w32 = jax.random.normal(jax.random.PRNGKey(6), (24, 48))
+    qt = quant.quantize_int8(w32.astype(jnp.bfloat16))
+    assert qt["s"].dtype == jnp.float32
+
+    cfg = MambaLMConfig(vocab_size=50, d_model=16, n_layer=1)
+    model = MambaLM(cfg, scan_implementation="ref")
+    variables = model.init(jax.random.PRNGKey(0),
+                           jnp.zeros((1, 4), jnp.int32))
+    qv = quant.quantize_lm_params(variables, activation_dtype=jnp.bfloat16)
+    qp = qv["params"]
+    assert qp["embedding"]["s"].dtype == jnp.float32
+    assert qp["mixer_0"]["x_proj_kernel"].dtype == jnp.bfloat16
+    assert qp["norm_0"]["scale"].dtype == jnp.bfloat16
+    # compute_dtype skips the fp32 scales and reports the activation dtype
+    assert quant.compute_dtype(qp) == jnp.bfloat16
+    assert quant.compute_dtype(variables["params"]) == jnp.float32
+    # embed_lookup honors the requested output dtype
+    rows = quant.embed_lookup(qp["embedding"], jnp.array([[1, 2]]),
+                              dtype=jnp.bfloat16)
+    assert rows.dtype == jnp.bfloat16
+
+
 def test_generate_int8_matches_bf16_greedy():
     """Greedy decode with int8 weights tracks the float model: the scores
     stay close and the token streams agree on a tiny model."""

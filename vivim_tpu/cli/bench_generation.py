@@ -57,11 +57,13 @@ def main(argv=None):
                         "per-token traffic — the TPU analogue of the "
                         "reference benchmark's fp16 decode "
                         "(benchmark_generation_mamba_simple.py:52) — and "
-                        "int8 (weight-only, per-channel, nn/quant.py) "
-                        "halves the in/out-proj + tied-embedding traffic "
-                        "again with bf16 activations.  The SSM state "
-                        "recurrence and A/D/dt_bias stay fp32 (the kernel "
-                        "numerics contract) in every mode")
+                        "int8 (per-channel weights, nn/quant.py) halves "
+                        "the in/out-proj + tied-embedding traffic again, "
+                        "with dynamic per-row int8 activation quantization "
+                        "at the quantized matmuls (int8 x int8 MXU) and "
+                        "bf16 elsewhere.  The SSM state recurrence and "
+                        "A/D/dt_bias stay fp32 (the kernel numerics "
+                        "contract) in every mode")
     args = p.parse_args(argv)
 
     import jax
@@ -72,17 +74,20 @@ def main(argv=None):
 
     model, variables = load_lm(args.ckpt, args.vocab, args.d_model,
                                args.n_layer, hf_dir=args.hf_dir)
-    if args.dtype in ("bfloat16", "int8"):
+    if args.dtype == "bfloat16":
         from vivim_tpu.train.loop import cast_floating
 
         variables = cast_floating(variables, jnp.bfloat16)
-    if args.dtype == "int8":
+    elif args.dtype == "int8":
         if args.tp_shards > 1:
             raise SystemExit("--dtype int8 is single-device decode only "
                              "(the TP island shards plain param trees)")
         from vivim_tpu.nn.quant import quantize_lm_params
 
-        variables = quantize_lm_params(variables)
+        # quantize from the original fp32 weights (scales stay fp32);
+        # non-quantized leaves become bf16 activations in the same walk
+        variables = quantize_lm_params(variables,
+                                       activation_dtype=jnp.bfloat16)
 
     tokenizer = None
     if args.prompt is not None:

@@ -218,13 +218,13 @@ def generate(model: MambaLM, params, tokens, max_new_tokens, rng=None,
         return p[f"mixer_{i}"], p[f"norm_{i}"]
 
     apply_norm = norm_fn_for(cfg)
-    dtype = quant.param_dtype(emb)
+    dtype = quant.compute_dtype(p)
 
     def residual(h):
         return h.astype(jnp.float32) if cfg.residual_in_fp32 else h
 
     # ---- prefill over the prompt ----
-    h = residual(quant.embed_lookup(emb, tokens))
+    h = residual(quant.embed_lookup(emb, tokens, dtype=dtype))
     conv_states, ssm_states = [], []
     for i in range(cfg.n_layer):
         mp, np_ = layer_params(i)
@@ -252,7 +252,7 @@ def generate(model: MambaLM, params, tokens, max_new_tokens, rng=None,
         if eos_token_id is not None:
             next_tok = jnp.where(done, eos_token_id, next_tok)
             done = done | (next_tok == eos_token_id)
-        h = residual(quant.embed_lookup(emb, next_tok))
+        h = residual(quant.embed_lookup(emb, next_tok, dtype=dtype))
         new_cs, new_ss = [], []
         for i in range(cfg.n_layer):
             mp, np_ = layer_params(i)
