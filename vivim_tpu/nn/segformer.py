@@ -74,6 +74,23 @@ def mit_tiny_test() -> SegformerConfig:
                            decoder_hidden_size=32)
 
 
+def mit_micro_test() -> SegformerConfig:
+    """2-stage micro config: the smallest graph that still exercises every
+    architectural element (overlap patch embed, SR attention, Mix-FFN,
+    inter-stage transition, multi-scale decode).  Built for compile-time
+    budgeted checks — the multi-chip dryrun compiles several distinct
+    train-step programs on a 1-CPU host (XLA:CPU compile time scales with
+    op count, so stage count is the lever; __graft_entry__.py)."""
+    return SegformerConfig(depths=(1, 1),
+                           hidden_sizes=(8, 16),
+                           num_attention_heads=(1, 2),
+                           sr_ratios=(8, 4),
+                           patch_sizes=(7, 3),
+                           strides=(4, 2),
+                           mlp_ratios=(2, 2),
+                           decoder_hidden_size=16)
+
+
 class OverlapPatchEmbed(nn.Module):
     """Strided overlapping conv patch embedding + LayerNorm on tokens."""
 

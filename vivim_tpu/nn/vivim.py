@@ -65,6 +65,17 @@ class VivimConfig:
                    scan_implementation=kw.pop("scan_implementation", "ref"),
                    **kw)
 
+    @classmethod
+    def micro_test(cls, **kw):
+        """2-stage micro model (sf.mit_micro_test + 1 MambaLayer/stage):
+        ~3.5x fewer ops than tiny_test — for compile-time-budgeted checks
+        like the multi-chip dryrun."""
+        seg = sf.mit_micro_test()
+        return cls(depths=(1, 1), feat_size=seg.hidden_sizes, hidden_size=16,
+                   segformer=seg,
+                   scan_implementation=kw.pop("scan_implementation", "ref"),
+                   **kw)
+
 
 class VivimEncoder(nn.Module):
     """SegFormer stages interleaved with temporal-Mamba stacks."""
