@@ -126,6 +126,39 @@ def test_scales_stay_fp32_from_bf16_weights():
     assert rows.dtype == jnp.bfloat16
 
 
+def test_forward_functional_matches_apply_and_scores_int8():
+    """forward_functional == model.apply for float trees, and the lm-eval
+    core routes int8 trees through it (loglikelihood stays close)."""
+    from vivim_tpu.cli.lm_eval_harness import MambaEvalCore
+    from vivim_tpu.nn.lm import forward_functional
+
+    cfg = MambaLMConfig(vocab_size=50, d_model=16, n_layer=2, rms_norm=True,
+                        residual_in_fp32=True)
+    model = MambaLM(cfg, scan_implementation="ref")
+    toks = jnp.array([[1, 2, 3, 4, 5, 6]], jnp.int32)
+    variables = model.init(jax.random.PRNGKey(0), toks)
+    want = model.apply(variables, toks)
+    got = forward_functional(model, variables, toks)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-5, atol=1e-5)
+
+    class _Tok:
+        eos_token_id = 0
+
+        def encode(self, text):
+            return [ord(c) % 50 for c in text]
+
+        def decode(self, ids):
+            return "".join(chr(i) for i in ids)
+
+    core_f = MambaEvalCore(model, variables, _Tok())
+    core_q = MambaEvalCore(model, quant.quantize_lm_params(variables),
+                           _Tok())
+    ll_f, _ = core_f.loglikelihood_pair("abcd", "efgh")
+    ll_q, _ = core_q.loglikelihood_pair("abcd", "efgh")
+    assert abs(ll_q - ll_f) < 0.05 * max(abs(ll_f), 1.0)
+
+
 def test_generate_int8_matches_bf16_greedy():
     """Greedy decode with int8 weights tracks the float model: the scores
     stay close and the token streams agree on a tiny model."""

@@ -53,7 +53,17 @@ class MambaEvalCore:
                 model.cfg, params, toks, mesh,
                 implementation=model.scan_implementation))
         else:
-            self._fwd = jax.jit(lambda toks: model.apply(params, toks))
+            from vivim_tpu.nn.lm import forward_functional
+            from vivim_tpu.nn.quant import tree_has_qtensor
+
+            if tree_has_qtensor(params):
+                # int8 weight-only trees (quantize_lm_params) cannot flow
+                # through the flax apply; score through the same functional
+                # path the decode loop serves
+                self._fwd = jax.jit(
+                    lambda toks: forward_functional(model, params, toks))
+            else:
+                self._fwd = jax.jit(lambda toks: model.apply(params, toks))
 
     def _score(self, ctx_ids, cont_ids):
         """Sum of log p(cont | ctx) and whether cont is the greedy argmax."""

@@ -160,6 +160,31 @@ def norm_fn_for(cfg):
     return functools.partial(fn, eps=getattr(cfg, "norm_epsilon", 1e-5))
 
 
+def forward_functional(model: "MambaLM", params, tokens) -> jax.Array:
+    """Full-sequence logits through the functional path ``generate``'s
+    prefill uses — unlike ``model.apply`` this handles int8 QTensor trees
+    (``quant.quantize_lm_params``), so loglikelihood scoring can run the
+    SAME quantized weights the decode path serves.  Matches ``model.apply``
+    exactly for plain float trees (same ops: embed -> n x [norm + mixer
+    prefill] -> norm_f -> tied lm_head)."""
+    cfg = model.cfg
+    p = params["params"] if "params" in params else params
+    emb = p["embedding"]
+    apply_norm = norm_fn_for(cfg)
+    dtype = quant.compute_dtype(p)
+    h = quant.embed_lookup(emb, tokens, dtype=dtype)
+    if cfg.residual_in_fp32:
+        h = h.astype(jnp.float32)
+    for i in range(cfg.n_layer):
+        res = h
+        out, _, _ = streaming.mamba_prefill(
+            p[f"mixer_{i}"], apply_norm(p[f"norm_{i}"], h).astype(dtype),
+            implementation=model.scan_implementation)
+        h = res + out.astype(res.dtype)
+    h = apply_norm(p["norm_f"], h).astype(dtype)
+    return quant.lm_head(h, emb)
+
+
 def _sample_logits(rng, logits, temperature, top_k, top_p):
     """Temperature / top-k / top-p filtering (generation.py:39-89)."""
     if temperature == 0.0:

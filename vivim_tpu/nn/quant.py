@@ -83,6 +83,17 @@ def matmul_t(x: jax.Array, w) -> jax.Array:
     return out.astype(x.dtype)
 
 
+def tree_has_qtensor(params) -> bool:
+    """True if any node of the tree is a QTensor (the dispatch test the
+    eval harness uses to route scoring through the quant-aware functional
+    forward instead of ``model.apply``)."""
+    if is_qtensor(params):
+        return True
+    if isinstance(params, Mapping):
+        return any(tree_has_qtensor(v) for v in params.values())
+    return False
+
+
 def compute_dtype(params, default=jnp.float32):
     """Activation/compute dtype of a (possibly quantized) parameter tree:
     the dtype of the first floating-point non-QTensor leaf (QTensor scales
