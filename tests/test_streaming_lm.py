@@ -168,6 +168,45 @@ def test_load_lm_from_local_hf_snapshot(tmp_path):
     np.testing.assert_allclose(np.asarray(got), want, rtol=1e-3, atol=1e-4)
 
 
+def test_load_lm_from_hub_repo(tmp_path, monkeypatch):
+    """``--hf_repo``: the networked ``from_pretrained`` surface resolves a
+    repo id through huggingface_hub.snapshot_download then takes the same
+    ``hf_dir`` path (hub mocked — this environment has no egress)."""
+    import json
+
+    torch = pytest.importorskip("torch")
+    import huggingface_hub
+
+    from tests.torch_vivim_ref import MambaLMRefTorch
+    from vivim_tpu.cli.lm_eval_harness import load_lm
+
+    torch.manual_seed(3)
+    vocab, d_model, n_layer = 48, 16, 1
+    ref = MambaLMRefTorch(vocab, d_model, n_layer).eval()
+    torch.save(ref.state_dict(), tmp_path / "pytorch_model.bin")
+    (tmp_path / "config.json").write_text(json.dumps({
+        "d_model": d_model, "n_layer": n_layer, "vocab_size": vocab}))
+
+    seen = {}
+
+    def fake_download(repo_id, **kw):
+        seen["repo"] = repo_id
+        return str(tmp_path)
+
+    monkeypatch.setattr(huggingface_hub, "snapshot_download", fake_download)
+    model, params = load_lm(None, 0, 0, 0,
+                            hf_repo="state-spaces/mamba-130m")
+    assert seen["repo"] == "state-spaces/mamba-130m"
+    assert model.cfg.d_model == d_model
+    # offline failure is a clear actionable error, not a stack trace
+    def boom(repo_id, **kw):
+        raise OSError("name resolution failed")
+
+    monkeypatch.setattr(huggingface_hub, "snapshot_download", boom)
+    with pytest.raises(SystemExit, match="--hf_dir"):
+        load_lm(None, 0, 0, 0, hf_repo="state-spaces/mamba-130m")
+
+
 @pytest.mark.parametrize("rms", [False, True])
 def test_generate_greedy_matches_full_forward_replay(rms):
     """Greedy streaming decode == repeatedly running the full forward —

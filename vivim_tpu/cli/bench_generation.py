@@ -31,6 +31,10 @@ def main(argv=None):
                    help="local HF mamba snapshot dir (config.json + "
                         "pytorch_model.bin); overrides the dim flags — the "
                         "reference's --model-name, zero-egress variant")
+    p.add_argument("--hf_repo", type=str, default=None,
+                   help="HF hub repo id (e.g. state-spaces/mamba-130m) — "
+                        "the reference's --model-name; downloads the "
+                        "snapshot (needs network)")
     p.add_argument("--ckpt", type=str, default=None,
                    help="torch state-dict checkpoint (HF mamba layout)")
     p.add_argument("--prompt", type=str, default=None,
@@ -73,7 +77,8 @@ def main(argv=None):
     from vivim_tpu.nn.lm import generate
 
     model, variables = load_lm(args.ckpt, args.vocab, args.d_model,
-                               args.n_layer, hf_dir=args.hf_dir)
+                               args.n_layer, hf_dir=args.hf_dir,
+                               hf_repo=args.hf_repo)
     if args.dtype == "bfloat16":
         from vivim_tpu.train.loop import cast_floating
 

@@ -159,13 +159,36 @@ def build_wrapper(model, params, tokenizer, **core_kw):
     return MambaEvalWrapper()
 
 
-def load_lm(ckpt, vocab_size, d_model, n_layer, hf_dir=None):
+def resolve_hf_repo(repo_id: str) -> str:
+    """Download (or reuse the local cache of) a mamba LM snapshot from the
+    HF hub and return its directory — the networked half of the
+    reference's ``MambaLMHeadModel.from_pretrained``
+    (mamba/mamba_ssm/utils/hf.py:9-23 ``load_config_hf`` /
+    ``load_state_dict_hf``).  In a zero-egress environment this raises a
+    clear error and ``--hf_dir`` (a pre-fetched snapshot) is the route."""
+    try:
+        from huggingface_hub import snapshot_download
+
+        return snapshot_download(
+            repo_id, allow_patterns=["config.json", "pytorch_model.bin",
+                                     "*.safetensors"])
+    except Exception as e:
+        raise SystemExit(
+            f"could not download {repo_id!r} from the HF hub ({e}); in an "
+            "offline environment pass --hf_dir with a local snapshot "
+            "(config.json + pytorch_model.bin) instead") from e
+
+
+def load_lm(ckpt, vocab_size, d_model, n_layer, hf_dir=None, hf_repo=None):
     """Build a MambaLM and load params from a torch state-dict file (via
     mamba_lm_params_from_torch), from a local HF snapshot directory
     (``hf_dir`` with config.json + pytorch_model.bin — the
     ``MambaLMHeadModel.from_pretrained`` surface, zero-egress variant:
-    config keys incl. rms_norm/residual_in_fp32 are honored), or
-    random-init when both are None."""
+    config keys incl. rms_norm/residual_in_fp32 are honored), from the
+    hub by repo id (``hf_repo``, e.g. ``state-spaces/mamba-130m`` —
+    requires network), or random-init when all are None."""
+    if hf_repo and not hf_dir:
+        hf_dir = resolve_hf_repo(hf_repo)
     import jax
     import jax.numpy as jnp
 
@@ -205,6 +228,10 @@ def main(argv=None):
     p.add_argument("--hf_dir", type=str, default=None,
                    help="local HF mamba snapshot dir (config.json + "
                         "pytorch_model.bin); overrides the dim flags")
+    p.add_argument("--hf_repo", type=str, default=None,
+                   help="HF hub repo id (e.g. state-spaces/mamba-130m) — "
+                        "the reference's from_pretrained model name; "
+                        "downloads the snapshot (needs network)")
     p.add_argument("--tokenizer", type=str,
                    default="EleutherAI/gpt-neox-20b")
     p.add_argument("--vocab", type=int, default=50277)
@@ -231,7 +258,8 @@ def main(argv=None):
 
     tokenizer = AutoTokenizer.from_pretrained(args.tokenizer)
     model, params = load_lm(args.ckpt, args.vocab, args.d_model,
-                            args.n_layer, hf_dir=args.hf_dir)
+                            args.n_layer, hf_dir=args.hf_dir,
+                            hf_repo=args.hf_repo)
     wrapper = build_wrapper(model, params, tokenizer,
                             max_gen_toks=args.max_gen_toks,
                             tp_shards=args.tp_shards)
