@@ -7,7 +7,7 @@ AdamW, Pallas selective-scan fwd+bwd) on synthetic data.
 
 Prints ONE JSON line:
   {"metric": ..., "value": N, "unit": "clips/sec/chip", "vs_baseline": N,
-   "step_ms": N, "model_tflops_per_step": N, "mfu": N}
+   "step_ms": N, "noise_band_ms": N, "value_bs8": N, ...}
 
 ``vs_baseline`` is measured against an ESTIMATED A100 reference throughput
 for the PyTorch/CUDA reference at the same config (the reference publishes
@@ -18,9 +18,16 @@ overheads.  vs_baseline > 1.0 means faster than that estimate.
 ``mfu`` is measured against the XLA cost model's FLOP count for the
 compiled train step (jit(...).compile().cost_analysis()["flops"] — an
 analytic count of the HLO's matmul/conv/elementwise FLOPs, not a guess)
-over the chip's bf16 peak.  The steps are chained through the carried
-train state inside ONE jitted lax.scan, so a single dispatch covers all
-timed steps — per-step wall time is device time, not tunnel/dispatch RTT.
+over the chip's bf16 peak.
+
+THE PINNED PROTOCOL (same for the headline, the bs=8 point, and every
+batch_scaling point): chain BENCH_STEPS optimizer steps through the carried
+train state inside ONE jitted lax.scan (a single dispatch covers the whole
+timed window, so per-step wall time is device time, not tunnel/dispatch
+RTT; the final loss value-fetch is the sync), repeat BENCH_REPEATS times
+after a warmup dispatch, report min-of-repeats.  ``noise_band_ms`` is
+(max - min)/STEPS over those repeats — round-over-round deltas smaller
+than this band are not resolvable by this harness.
 """
 
 import functools
@@ -28,6 +35,15 @@ import json
 import os
 import sys
 import time
+
+_T0 = time.time()
+
+
+def _progress(msg):
+    """Stage progress to stderr (stdout stays the single JSON line); a
+    partially-run bench is then still diagnostic in the driver's tail."""
+    print(f"[bench +{time.time() - _T0:.0f}s] {msg}", file=sys.stderr,
+          flush=True)
 
 A100_REFERENCE_CLIPS_PER_SEC = 12.0  # estimated; see module docstring
 
@@ -45,8 +61,23 @@ BATCH = int(os.environ.get("BENCH_BATCH", 3))
 CLIP_LEN = int(os.environ.get("BENCH_CLIP_LEN", 5))
 IMG = int(os.environ.get("BENCH_IMAGE_SIZE", 256))
 STEPS = int(os.environ.get("BENCH_STEPS", 30))
+REPEATS = int(os.environ.get("BENCH_REPEATS", 5))
 DTYPE = os.environ.get("BENCH_DTYPE", "bfloat16")  # bfloat16 (default, matches
 # the reference's fp16-AMP training; fp32 scan state preserved) | float32
+# BENCH_BS8=0 skips the second (bs=8, throughput-optimal) headline point;
+# it only runs when BENCH_BATCH is the default 3, so overriding BENCH_BATCH
+# never produces two confusing operating points.
+BS8 = int(os.environ.get("BENCH_BS8", "1"))
+# Optional stages (bs=8, 512px eval) are skipped when the elapsed wall time
+# approaches this budget, so the headline JSON line ALWAYS prints even if
+# the driver kills long runs (the round-3 multichip artifact was lost to
+# exactly that: rc 124 with all the value stuck behind the timeout).
+TIME_BUDGET_S = float(os.environ.get("BENCH_TIME_BUDGET_S", 2400))
+
+
+def _budget_left(frac):
+    """True if less than ``frac`` of the wall budget has been spent."""
+    return (time.time() - _T0) < frac * TIME_BUDGET_S
 
 
 def _peak_tflops() -> float:
@@ -57,6 +88,86 @@ def _peak_tflops() -> float:
         if key in kind:
             return val
     return 197.0  # default to v5e
+
+
+def _make_batch(jax, jnp, rng, batch_size):
+    clip = jax.random.normal(
+        rng, (batch_size, CLIP_LEN, IMG, IMG, 3), jnp.float32)
+    # synthetic blob masks -> one-hot (B, T, H, W, 3)
+    yy, xx = jnp.mgrid[:IMG, :IMG]
+    blob = ((yy - IMG // 2) ** 2 + (xx - IMG // 2) ** 2 < (IMG // 4) ** 2)
+    labels = jnp.where(blob, 1, 0)[None, None].repeat(batch_size, 0).repeat(
+        CLIP_LEN, 1)
+    masks = jax.nn.one_hot(labels, 3)
+    return {"clip": clip, "masks": masks}
+
+
+def _measure_train(jax, jnp, loop_lib, model, state, tx, rng, batch_size,
+                   grad_accum=1):
+    """One pinned-protocol measurement of the full train step at
+    ``batch_size``: min-of-REPEATS over a STEPS-long chained lax.scan.
+
+    ONE XLA program per config: the chained scan is AOT-compiled
+    (lower().compile()) and its own cost_analysis supplies the per-step
+    FLOPs — XLA's cost model counts a while-loop body once regardless of
+    trip count (verified: scan(n=1) and scan(n=10) of a 128x128 matmul
+    both report 2*128^3 flops), so no separate un-scanned compile is
+    needed.  The round-3 bench paid three full compiles per config (init,
+    cost-analysis step, chained scan); this pays one, plus a single shared
+    init across configs — the state is batch-size-independent.
+
+    Returns ({clips_per_sec, step_ms, noise_band_ms, tflops, mfu},
+    final_state) — the caller chains final_state into the next config
+    because donation invalidates the input state buffers.
+    """
+    _progress(f"measure bs={batch_size}: building step")
+    batch = _make_batch(jax, jnp, rng, batch_size)
+    compute_dtype = jnp.bfloat16 if DTYPE == "bfloat16" else None
+    step_fn = loop_lib.make_train_step(model, "recall_focused", 3, tx,
+                                       compute_dtype=compute_dtype,
+                                       grad_accum=grad_accum)
+
+    # donate the carried train state: without donation XLA double-buffers
+    # params+opt state (~0.9 GB at 60M params) — the margin that decides
+    # whether bs=16 fits in the 16 GB HBM (batch-scaling study, r3)
+    @functools.partial(jax.jit, donate_argnums=0)
+    def run_steps(state):
+        def body(s, _):
+            s, m = step_fn(s, batch)
+            return s, m["loss"]
+        s, losses = jax.lax.scan(body, state, length=STEPS)
+        return s, losses[-1]
+
+    _progress(f"measure bs={batch_size}: compiling chained scan")
+    compiled = run_steps.lower(state).compile()
+    step_flops = None
+    try:
+        cost = compiled.cost_analysis()
+        if cost and "flops" in cost:
+            step_flops = float(cost["flops"])  # per STEP (body counted once)
+    except Exception:
+        pass
+
+    state, loss = compiled(state)  # warmup dispatch
+    _ = float(loss)
+    _progress(f"measure bs={batch_size}: timing {REPEATS} repeats")
+    times = []
+    for _ in range(REPEATS):
+        t0 = time.time()
+        state, loss = compiled(state)
+        _ = float(loss)
+        times.append((time.time() - t0) / STEPS)
+    dt = min(times)
+
+    res = {
+        "clips_per_sec": round(batch_size / dt, 3),
+        "step_ms": round(dt * 1e3, 2),
+        "noise_band_ms": round((max(times) - min(times)) * 1e3, 2),
+    }
+    if step_flops is not None:
+        res["tflops"] = round(step_flops / 1e12, 3)
+        res["mfu"] = round(step_flops / dt / (_peak_tflops() * 1e12), 4)
+    return res, state
 
 
 def main():
@@ -96,76 +207,39 @@ def main():
                       remat_blocks=remat_level >= 2)
     model = Vivim(cfg)
     rng = jax.random.PRNGKey(0)
-    clip = jax.random.normal(rng, (BATCH, CLIP_LEN, IMG, IMG, 3), jnp.float32)
-    # synthetic blob masks -> one-hot (B, T, H, W, 3)
-    yy, xx = jnp.mgrid[:IMG, :IMG]
-    blob = ((yy - IMG // 2) ** 2 + (xx - IMG // 2) ** 2 < (IMG // 4) ** 2)
-    labels = jnp.where(blob, 1, 0)[None, None].repeat(BATCH, 0).repeat(
-        CLIP_LEN, 1)
-    masks = jax.nn.one_hot(labels, 3)
-    batch = {"clip": clip, "masks": masks}
 
-    # BENCH_BF16_MU=1: AdamW first moment in bf16 (halves mu HBM traffic;
-    # perf-lever measurement, docs/DESIGN.md round-3)
-    mu_dtype = (jnp.bfloat16 if int(os.environ.get("BENCH_BF16_MU", "0"))
-                else None)
-    state, tx = loop_lib.create_train_state(
-        model, clip, rng, lr=1e-4, weight_decay=1e-2,
-        total_steps=1000, mu_dtype=mu_dtype)
-    compute_dtype = jnp.bfloat16 if DTYPE == "bfloat16" else None
     # BENCH_GRAD_ACCUM=k: micro-batch accumulation inside the step — the
     # memory-bound alternative to BENCH_REMAT=2 for effective bs>=16
     # (BENCH_BATCH must be divisible by k)
     grad_accum = int(os.environ.get("BENCH_GRAD_ACCUM", "1"))
-    step_fn = loop_lib.make_train_step(model, "recall_focused", 3, tx,
-                                       compute_dtype=compute_dtype,
-                                       grad_accum=grad_accum)
 
-    # Chain STEPS optimizer steps inside one jit: a single dispatch covers
-    # the whole timed window, so per-step time is sequential device time
-    # (under the tunneled TPU runtime each dispatch costs RTT, and
-    # block_until_ready does not synchronize — a device->host VALUE fetch
-    # does; the final loss fetch is that sync).
-    # donate the carried train state: without donation XLA double-buffers
-    # params+opt state (~0.9 GB at 60M params) — the margin that decides
-    # whether bs=16 fits in the 16 GB HBM (batch-scaling study, r3)
-    @functools.partial(jax.jit, donate_argnums=0)
-    def run_steps(state):
-        def body(s, _):
-            s, m = step_fn(s, batch)
-            return s, m["loss"]
-        s, losses = jax.lax.scan(body, state, length=STEPS)
-        return s, losses[-1]
+    # ONE shared init for every config below: params/opt-state do not
+    # depend on the batch size, and the bs=1 forward is the cheapest
+    # compile that can initialize them.
+    _progress("shared init (bs=1 forward compile)")
+    # BENCH_BF16_MU=1: AdamW first moment in bf16 (halves mu HBM traffic;
+    # perf-lever measurement, docs/DESIGN.md round-3)
+    mu_dtype = (jnp.bfloat16 if int(os.environ.get("BENCH_BF16_MU", "0"))
+                else None)
+    init_clip = jax.random.normal(rng, (1, CLIP_LEN, IMG, IMG, 3),
+                                  jnp.float32)
+    state, tx = loop_lib.create_train_state(
+        model, init_clip, rng, lr=1e-4, weight_decay=1e-2,
+        total_steps=1000, mu_dtype=mu_dtype)
 
-    # analytic FLOPs of ONE train step from the XLA cost model
-    step_flops = None
-    try:
-        cost = step_fn.lower(state, batch).compile().cost_analysis()
-        if cost and "flops" in cost:
-            step_flops = float(cost["flops"])
-    except Exception:
-        pass
+    head, head_state = _measure_train(jax, jnp, loop_lib, model, state, tx,
+                                      rng, BATCH, grad_accum=grad_accum)
 
-    state, loss = run_steps(state)  # warmup (compile)
-    _ = float(loss)
-    best = float("inf")
-    for _ in range(int(os.environ.get("BENCH_REPEATS", 5))):
-        t0 = time.time()
-        state, loss = run_steps(state)
-        _ = float(loss)
-        best = min(best, (time.time() - t0) / STEPS)
-    dt = best
-
-    clips_per_sec = BATCH / dt
     suffix = "_bf16" if DTYPE == "bfloat16" else ""
     if grad_accum > 1:
         suffix += f"_ga{grad_accum}"
     out = {
         "metric": f"vivim_b3_train_clips_per_sec_chip_bs{BATCH}_"
                   f"clip{CLIP_LEN}_{IMG}px{suffix}",
-        "value": round(clips_per_sec, 3),
+        "value": head["clips_per_sec"],
         "unit": "clips/sec/chip",
-        "vs_baseline": round(clips_per_sec / A100_REFERENCE_CLIPS_PER_SEC, 3),
+        "vs_baseline": round(head["clips_per_sec"]
+                             / A100_REFERENCE_CLIPS_PER_SEC, 3),
         # self-honesty: the denominator is an ESTIMATE, not a measurement —
         # the reference publishes no numbers (BASELINE.md); ~12 clips/s is
         # derived from its FLOP count at typical A100 fp16-AMP MFU.
@@ -176,12 +250,36 @@ def main():
                  else "tanh_approx (production default; diverges from torch "
                       "erf at ~1e-3 - restore with BENCH_EXACT_GELU=1 / "
                       "-exact_gelu true)"),
-        "step_ms": round(dt * 1e3, 2),
+        "step_ms": head["step_ms"],
+        "noise_band_ms": head["noise_band_ms"],
+        "bench_protocol": (
+            f"min over {REPEATS} repeats of a {STEPS}-step chained "
+            f"lax.scan (one dispatch = device time); noise_band_ms is "
+            f"max-min over repeats — deltas inside the band are not "
+            f"resolvable"),
     }
-    if step_flops is not None:
-        peak = _peak_tflops()
-        out["model_tflops_per_step"] = round(step_flops / 1e12, 3)
-        out["mfu"] = round(step_flops / dt / (peak * 1e12), 4)
+    if "tflops" in head:
+        out["model_tflops_per_step"] = head["tflops"]
+        out["mfu"] = head["mfu"]
+
+    # second recorded headline: the throughput-optimal bs=8 operating point
+    # (batch-scaling study, docs/DESIGN.md r3), measured live under the SAME
+    # pinned protocol.  Disable with BENCH_BS8=0.
+    if BS8 and BATCH == 3 and grad_accum == 1 and _budget_left(0.55):
+        try:
+            bs8, head_state = _measure_train(jax, jnp, loop_lib, model,
+                                             head_state, tx, rng, 8)
+            out["value_bs8"] = bs8["clips_per_sec"]
+            out["step_ms_bs8"] = bs8["step_ms"]
+            out["noise_band_ms_bs8"] = bs8["noise_band_ms"]
+            if "mfu" in bs8:
+                out["mfu_bs8"] = bs8["mfu"]
+        except Exception as e:  # never lose the headline to the add-on
+            out["value_bs8_error"] = str(e)[:120]
+    elif BS8 and BATCH == 3 and grad_accum == 1:
+        out["value_bs8_skipped"] = (
+            f"wall budget: {time.time() - _T0:.0f}s elapsed of "
+            f"BENCH_TIME_BUDGET_S={TIME_BUDGET_S:.0f}")
 
     # batch-scaling study (round-3): measured clips/s + MFU at bs 3/8/16/32,
     # recorded by scripts via BENCH_BATCH and checked in at
@@ -200,7 +298,7 @@ def main():
     # inference.py:414-436 FPS accounting).  Uses the deterministic decode
     # fast path + inference-only scan; disable with BENCH_EVAL_512=0.
     try:
-        _bench_eval_512(out, jax, jnp, model, state, compute_dtype, rng)
+        _bench_eval_512(out, jax, jnp, model, head_state, rng)
     except Exception as e:  # never lose the train metric to the eval add-on
         out["eval_fps_512px_error"] = str(e)[:120]
 
@@ -209,6 +307,7 @@ def main():
     except Exception as e:
         out["loader_fps_error"] = str(e)[:120]
 
+    _progress("done")
     print(json.dumps(out))
 
 
@@ -216,57 +315,92 @@ def _bench_loader(out):
     """Host input-pipeline throughput via the ONE shared harness
     (cli/bench_loader.measure_loader — same synthetic tree, same production
     DataLoader as the standalone tool), single worker so the number is a
-    true per-core rate on any host.  The requirement is printed next to the
-    measurement: required = train clips/s * clip_len.  Disable with
-    BENCH_LOADER=0."""
+    true per-core rate on any host.
+
+    Provenance (round-3 verdict): the live number here is measured on the
+    BENCH host while the TPU tunnel + bench process load it
+    (``loader_fps_bench_host``); the checked-in idle-host baseline
+    (docs/loader_baseline.json) is embedded next to it, and the published
+    core requirement derives from the CONSERVATIVE (smaller) of the two.
+    Disable with BENCH_LOADER=0."""
     if not int(os.environ.get("BENCH_LOADER", "1")):
         return
     from vivim_tpu.cli.bench_loader import measure_loader, measure_stages
 
+    _progress("loader: measuring")
     res = measure_loader(image_size=IMG, clip_length=CLIP_LEN,
                          num_workers=1, epochs=1)
-    out["loader_frames_per_sec_per_core"] = res["frames_per_sec"]
+    out["loader_fps_bench_host"] = res["frames_per_sec"]
+    out["loader_fps_bench_host_note"] = (
+        "measured on the bench host DURING the bench run (TPU tunnel + "
+        "bench process share the host); see loader_fps_idle_host for the "
+        "unloaded rate")
     out["host_cpus"] = res["host_cpus"]
+    idle_fps = None
+    try:
+        base_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                 "docs", "loader_baseline.json")
+        with open(base_path) as f:
+            base = json.load(f)
+        idle_fps = float(base["frames_per_sec_per_core_idle_host"])
+        out["loader_fps_idle_host"] = idle_fps
+        out["loader_fps_idle_host_note"] = (
+            f"checked-in baseline ({base['statistic']}, {base['when']}, "
+            "docs/loader_baseline.json)")
+    except Exception:
+        pass
     out["loader_required_frames_per_sec"] = round(
         out["value"] * CLIP_LEN, 1)
+    conservative = min(x for x in (res["frames_per_sec"], idle_fps)
+                       if x is not None)
     out["loader_cores_needed_at_linear_scaling"] = round(
-        out["loader_required_frames_per_sec"]
-        / max(res["frames_per_sec"], 1e-9), 1)
+        out["loader_required_frames_per_sec"] / max(conservative, 1e-9), 1)
     if int(os.environ.get("BENCH_LOADER_STAGES", "0")):
         out["loader_per_stage"] = measure_stages(
             image_size=IMG, clip_length=CLIP_LEN)
 
 
-def _bench_eval_512(out, jax, jnp, model, state, compute_dtype, rng):
-    if int(os.environ.get("BENCH_EVAL_512", "1")):
-        ev_bs, ev_img, ev_steps = 1, 512, 5
-        clip512 = jax.random.normal(
-            rng, (ev_bs, CLIP_LEN, ev_img, ev_img, 3),
-            compute_dtype or jnp.float32)
-        from vivim_tpu.train.loop import cast_floating
+def _bench_eval_512(out, jax, jnp, model, state, rng):
+    if not int(os.environ.get("BENCH_EVAL_512", "1")):
+        return
+    if not _budget_left(0.85):
+        out["eval_fps_512px_skipped"] = (
+            f"wall budget: {time.time() - _T0:.0f}s elapsed of "
+            f"BENCH_TIME_BUDGET_S={TIME_BUDGET_S:.0f}")
+        return
+    from vivim_tpu.train.loop import cast_floating
 
-        ev_params = (cast_floating(state.params, compute_dtype)
-                     if compute_dtype is not None else state.params)
+    ev_bs, ev_img, ev_steps = 1, 512, 5
+    compute_dtype = jnp.bfloat16 if DTYPE == "bfloat16" else None
+    batch_stats = state.batch_stats
+    clip512 = jax.random.normal(
+        rng, (ev_bs, CLIP_LEN, ev_img, ev_img, 3),
+        compute_dtype or jnp.float32)
+    ev_params = (cast_floating(state.params, compute_dtype)
+                 if compute_dtype is not None else state.params)
 
-        @jax.jit
-        def eval_steps(clip):
-            def body(c, _):
-                logits = model.apply(
-                    {"params": ev_params, "batch_stats": state.batch_stats},
-                    c, deterministic=True)
-                # chain through the input so steps serialize
-                c = c + 1e-6 * logits.mean()
-                return c, logits[0, 0, 0, 0, 0]
-            c, last = jax.lax.scan(body, clip, length=ev_steps)
-            return last[-1]
+    @jax.jit
+    def eval_steps(clip):
+        def body(c, _):
+            logits = model.apply(
+                {"params": ev_params, "batch_stats": batch_stats},
+                c, deterministic=True)
+            # chain through the input so steps serialize
+            c = c + 1e-6 * logits.mean()
+            return c, logits[0, 0, 0, 0, 0]
+        c, last = jax.lax.scan(body, clip, length=ev_steps)
+        return last[-1]
 
+    _progress("eval 512px: compiling")
+    _ = float(eval_steps(clip512))
+    times = []
+    for _ in range(3):
+        t0 = time.time()
         _ = float(eval_steps(clip512))
-        best_ev = float("inf")
-        for _ in range(3):
-            t0 = time.time()
-            _ = float(eval_steps(clip512))
-            best_ev = min(best_ev, (time.time() - t0) / ev_steps)
-        out["eval_fps_512px"] = round(ev_bs * CLIP_LEN / best_ev, 2)
+        times.append((time.time() - t0) / ev_steps)
+    out["eval_fps_512px"] = round(ev_bs * CLIP_LEN / min(times), 2)
+    out["eval_fps_512px_noise_band"] = round(
+        ev_bs * CLIP_LEN / min(times) - ev_bs * CLIP_LEN / max(times), 2)
 
 
 if __name__ == "__main__":
