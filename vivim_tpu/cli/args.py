@@ -83,6 +83,13 @@ def build_train_parser(description="vivim_tpu training"):
               "the gradients, apply ONE optimizer update — reaches "
               "effective batch sizes whose activations exceed HBM without "
               "whole-block remat (train_bs must be divisible)")
+    _add(p, "zero", type=str2bool, default=False,
+         help="ZeRO/FSDP: shard params + AdamW moments leaf-wise over the "
+              "'data' mesh axis instead of replicating them (needs "
+              "-n_devices > 1); XLA/GSPMD inserts the gather/"
+              "reduce-scatter collectives, the update step is bit-"
+              "equivalent to plain DP, and per-chip state memory drops "
+              "~1/N (parallel/fsdp.py)")
     _add(p, "segformer", type=str, default="b3", choices=["b0", "b3", "tiny"])
     _add(p, "exact_gelu", type=str2bool, default=False,
          help="use the exact erf GELU (HF-bit-parity; ~4x slower on TPU)")

@@ -47,7 +47,7 @@ def main(argv=None):
         monitor="train/loss", monitor_mode="min", top_k=3, seed=args.seed,
         bf16=args.bf16, grad_accum=args.grad_accum,
         decay_mask=args.decay_mask,
-        profile_dir=args.profile_dir)
+        profile_dir=args.profile_dir, zero=args.zero)
     from vivim_tpu.cli.common import trainer_mesh
     mesh = trainer_mesh(args, cfg)
     edge_loss_fn = None

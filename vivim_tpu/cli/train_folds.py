@@ -48,7 +48,8 @@ def run_fold(args, fold: int):
         weight_decay=args.weight_decay, num_classes=args.num_classes,
         loss=args.loss, monitor="val/dice", monitor_mode="max", top_k=1,
         seed=args.seed + fold, bf16=args.bf16, grad_accum=args.grad_accum,
-        decay_mask=args.decay_mask, profile_dir=args.profile_dir)
+        decay_mask=args.decay_mask, profile_dir=args.profile_dir,
+        zero=args.zero)
     from vivim_tpu.cli.common import trainer_mesh
     mesh = trainer_mesh(args, cfg)
     trainer = Trainer(model, tcfg, train_dl, val_dl,

@@ -147,7 +147,7 @@ def cast_floating(tree, dtype):
 def make_train_step(model, loss_fn: Callable | str = "recall_focused",
                     num_classes: int = 3, tx=None, edge_loss_fn=None,
                     compute_dtype=None, grad_accum: int = 1,
-                    donate: bool = False):
+                    donate: bool = False, state_shardings=None):
     """Returns a jitted train step: (state, batch) -> (state, metrics).
 
     ``batch``: dict with clip (B, T, H, W, 3), masks (B, T, H, W, C)
@@ -177,6 +177,13 @@ def make_train_step(model, loss_fn: Callable | str = "recall_focused",
     margin that decides whether bs=16 fits HBM).  The caller must not
     touch the OLD state object after the call; the epoch-loop pattern
     ``state, m = step(state, batch)`` is safe by construction.
+
+    ``state_shardings``: a TrainState-shaped pytree of ``NamedSharding``
+    (``parallel.fsdp.fsdp_state_shardings``) pinned as the step's
+    ``out_shardings`` for the carried state, so a ZeRO/FSDP-sharded state
+    STAYS sharded across steps instead of being re-replicated by sharding
+    propagation.  Inputs are inferred from the placed state; metrics are
+    left unconstrained (scalars).
     """
     if isinstance(loss_fn, str):
         loss_fn = losses_lib.LOSSES[loss_fn]
@@ -184,7 +191,12 @@ def make_train_step(model, loss_fn: Callable | str = "recall_focused",
     if grad_accum < 1:
         raise ValueError(f"grad_accum must be >= 1, got {grad_accum}")
     import functools
-    jit_step = (functools.partial(jax.jit, donate_argnums=0) if donate
+    jit_kwargs = {}
+    if donate:
+        jit_kwargs["donate_argnums"] = 0
+    if state_shardings is not None:
+        jit_kwargs["out_shardings"] = (state_shardings, None)
+    jit_step = (functools.partial(jax.jit, **jit_kwargs) if jit_kwargs
                 else jax.jit)
 
     def compute_loss(params, batch, batch_stats, rng):

@@ -52,6 +52,7 @@ class TrainerConfig:
     decay_mask: str = "tagged"  # "torch" = decay all params (ref parity)
     profile_dir: str | None = None  # jax.profiler trace of early train steps
     profile_steps: int = 5
+    zero: bool = False  # ZeRO/FSDP: shard params + AdamW moments over 'data'
 
 
 def confusion_matrix_from_labels(preds, targets, num_classes):
@@ -91,6 +92,15 @@ class Trainer:
             cfg.lr, cfg.weight_decay, self.total_steps,
             decay_mask=cfg.decay_mask)
         compute_dtype = jnp.bfloat16 if cfg.bf16 else None
+        # ZeRO/FSDP (parallel/fsdp.py): shard params + optimizer moments
+        # leaf-wise over the 'data' axis; the jitted step's out_shardings
+        # keep the carried state sharded across steps.  Placement happens
+        # at fit() time, after any pretrained-weight grafts.
+        self.state_shardings = None
+        if cfg.zero and mesh is not None and dict(mesh.shape).get(
+                "data", 1) > 1:
+            from vivim_tpu.parallel.fsdp import fsdp_state_shardings
+            self.state_shardings = fsdp_state_shardings(self.state, mesh)
         # donate the carried state: the trainer only ever holds the newest
         # state, so XLA can alias params/opt buffers in place instead of
         # double-buffering them (~0.9 GB at the 60M-param config)
@@ -98,7 +108,7 @@ class Trainer:
             model, cfg.loss, cfg.num_classes, self.tx,
             edge_loss_fn=edge_loss_fn if with_edge else None,
             compute_dtype=compute_dtype, grad_accum=cfg.grad_accum,
-            donate=True)
+            donate=True, state_shardings=self.state_shardings)
         self.eval_step = loop_lib.make_eval_step(
             model, cfg.loss, cfg.num_classes, with_edge=with_edge,
             compute_dtype=compute_dtype,
@@ -234,6 +244,10 @@ class Trainer:
     def fit(self, resume_path: str | None = None):
         if resume_path:
             self.resume(resume_path)
+        if self.state_shardings is not None:
+            # (re-)place the state FSDP-sharded — after __init__ grafts
+            # (HF segformer / pretrained ckpt) and after resume()
+            self.state = jax.device_put(self.state, self.state_shardings)
         best = None
         prev_handlers = self._install_preemption_handlers()
         try:
