@@ -75,6 +75,34 @@ def test_dataset_tensors(tmp_path):
     np.testing.assert_array_equal(a, b)
 
 
+def test_decode_cache_exact_and_capped(tmp_path):
+    """cache_decoded=True must be bit-identical to the uncached path (the
+    cache stores post-convert uint8 arrays, and decode is deterministic),
+    on both the cold (fill) and warm (hit) passes, with augmentation."""
+    import random
+
+    root = make_gathered_tree(str(tmp_path / "t"), n_videos=1, n_frames=12)
+    plain = ClipDataset(root, size=32, clip_len=3, augment="medium", seed=7)
+    cached = ClipDataset(root, size=32, clip_len=3, augment="medium", seed=7,
+                         cache_decoded=True)
+    for idx in range(len(plain)):
+        a = plain.load_clip(idx, random.Random(idx))
+        b = cached.load_clip(idx, random.Random(idx))  # cold: fills cache
+        c = cached.load_clip(idx, random.Random(idx))  # warm: hits cache
+        for k in ("clip", "masks", "edges"):
+            np.testing.assert_array_equal(a[k], b[k])
+            np.testing.assert_array_equal(a[k], c[k])
+    assert cached._cache_bytes > 0 and len(cached._cache) > 0
+    # a zero cap disables insertion but stays correct
+    capped = ClipDataset(root, size=32, clip_len=3, augment="none", seed=7,
+                         cache_decoded=True, cache_mb=0)
+    plain_none = ClipDataset(root, size=32, clip_len=3, augment="none",
+                             seed=7)
+    np.testing.assert_array_equal(capped.load_clip(0)["clip"],
+                                  plain_none.load_clip(0)["clip"])
+    assert capped._cache_bytes == 0 and not capped._cache
+
+
 def test_dataset_max_num_and_dynamic(tmp_path):
     root = make_gathered_tree(str(tmp_path / "t"), n_videos=1, n_frames=30)
     ds = ClipDataset(root, size=16, clip_len=3, max_num=4, augment="none")

@@ -102,6 +102,13 @@ def build_train_parser(description="vivim_tpu training"):
               "to fit the 16 GB HBM — batch-scaling study, DESIGN.md)")
     _add(p, "profile_dir", type=str, default=None,
          help="write a jax.profiler trace of the first training steps")
+    _add(p, "cache_decoded", type=str2bool, default=False,
+         help="cache decoded PNG frames/masks in host RAM (uint8, exact): "
+              "PNG decode is the most expensive loader stage (~16 ms/frame "
+              "single-thread) and is deterministic, so epochs >= 2 skip it "
+              "entirely; bounded by -cache_mb")
+    _add(p, "cache_mb", type=int, default=4096,
+         help="decode-cache cap in MB (insertion stops at the cap)")
     # Vestigial reference flags (cfg.py:4-42) — accepted for drop-in CLI
     # compatibility; unused here (single-accelerator device selection,
     # legacy dataset switches)

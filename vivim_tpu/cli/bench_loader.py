@@ -66,7 +66,8 @@ def make_synthetic_tree(root: str, n_videos: int = 6, n_frames: int = 40,
 
 def measure_loader(data_root=None, image_size=256, clip_length=5,
                    batch_size=3, num_workers=1, epochs=1, augment="medium",
-                   with_edges=True, n_videos=6, n_frames=40):
+                   with_edges=True, n_videos=6, n_frames=40,
+                   cache_decoded=False):
     """The ONE loader measurement: production DataLoader over a gathered
     tree (synthetic 6-video x 40-frame when ``data_root`` is None), with a
     warmup epoch (thread spin-up + native lib build + page cache).
@@ -84,11 +85,14 @@ def measure_loader(data_root=None, image_size=256, clip_length=5,
         make_synthetic_tree(root, n_videos=n_videos, n_frames=n_frames)
     try:
         ds = ClipDataset(root, size=image_size, clip_len=clip_length,
-                         augment=augment, with_edges=with_edges)
+                         augment=augment, with_edges=with_edges,
+                         cache_decoded=cache_decoded)
         loader = DataLoader(ds, batch_size, shuffle=True,
                             num_workers=num_workers)
         frames = 0
-        for batch in loader:  # warmup epoch
+        # warmup epoch (also fills the decode cache when enabled, so the
+        # measured epochs report the steady-state warm rate)
+        for batch in loader:
             frames += batch["clip"].shape[0] * batch["clip"].shape[1]
         t0 = time.time()
         frames = 0
@@ -112,6 +116,7 @@ def measure_loader(data_root=None, image_size=256, clip_length=5,
         # workers contend and this is NOT a per-core rate (measure with
         # num_workers=1 there — see --per_stage for the derivation).
         "frames_per_sec_per_worker": round(fps / max(num_workers, 1), 1),
+        "cache_decoded": cache_decoded,
     }
 
 
@@ -205,11 +210,16 @@ def main(argv=None):
     ap.add_argument("--no_edges", action="store_true")
     ap.add_argument("--per_stage", action="store_true",
                     help="also print single-thread per-stage costs")
+    ap.add_argument("--cache_decoded", action="store_true",
+                    help="enable the host decode cache (-cache_decoded on "
+                         "the trainers): the warmup epoch fills it, so the "
+                         "measured epochs report the steady-state warm rate")
     args = ap.parse_args(argv)
 
     res = measure_loader(
         args.data_root, args.image_size, args.clip_length, args.batch_size,
-        args.num_workers, args.epochs, args.augment, not args.no_edges)
+        args.num_workers, args.epochs, args.augment, not args.no_edges,
+        cache_decoded=args.cache_decoded)
     res = {
         "metric": f"loader_frames_per_sec_{args.image_size}px_"
                   f"aug_{args.augment}_edges{int(not args.no_edges)}",

@@ -71,10 +71,12 @@ def trainer_mesh(args, cfg):
 
 
 def build_loaders(args, train_root, val_root=None, dynamic=False):
+    cache = dict(cache_decoded=getattr(args, "cache_decoded", False),
+                 cache_mb=getattr(args, "cache_mb", 4096))
     train_ds = ClipDataset(
         train_root, size=args.image_size, clip_len=args.clip_length,
         max_num=args.max_numerosity, augment=args.augment_intensity,
-        dynamic=dynamic, seed=args.seed, with_edges=args.with_edge)
+        dynamic=dynamic, seed=args.seed, with_edges=args.with_edge, **cache)
     train_dl = DataLoader(train_ds, args.train_bs, shuffle=True,
                           num_workers=args.num_workers, seed=args.seed)
     if len(train_dl) == 0:
@@ -89,7 +91,7 @@ def build_loaders(args, train_root, val_root=None, dynamic=False):
             val_root, size=args.image_size, clip_len=args.clip_length,
             max_num=None,
             augment=args.augment_intensity if args.val_aug else "none",
-            seed=args.seed, with_edges=args.with_edge)
+            seed=args.seed, with_edges=args.with_edge, **cache)
         val_dl = DataLoader(val_ds, args.val_bs, shuffle=False,
                             num_workers=args.num_workers, drop_last=False,
                             seed=args.seed)

@@ -56,16 +56,18 @@ def main(argv=None):
                             augment="none", seed=args.seed)
         clip_len = 1
     else:
+        cache = dict(cache_decoded=getattr(args, "cache_decoded", False),
+                     cache_mb=getattr(args, "cache_mb", 4096))
         train_ds = ClipDataset(
             args.data_path, size=args.image_size, clip_len=args.clip_length,
             max_num=args.max_numerosity, augment=args.augment_intensity,
             mask_keys=("background",), invert_background=True,
-            dynamic=args.dynamic, seed=args.seed)
+            dynamic=args.dynamic, seed=args.seed, **cache)
         val_ds = ClipDataset(
             args.val_path or args.data_path, size=args.image_size,
             clip_len=args.clip_length, augment="none",
             mask_keys=("background",), invert_background=True,
-            seed=args.seed)
+            seed=args.seed, **cache)
         clip_len = args.clip_length
     if len(train_ds) == 0:
         raise SystemExit(

@@ -117,7 +117,8 @@ class ClipDataset:
     def __init__(self, root, size, clip_len=3, max_num=None, augment="medium",
                  mask_keys=MULTICLASS_KEYS, dynamic=False, seed=42,
                  with_edges=True, invert_background=False,
-                 pad_short_videos=False):
+                 pad_short_videos=False, cache_decoded=False,
+                 cache_mb=4096):
         """``root`` is either a gathered video-tree directory or an index
         dict {video: [entry dicts]} (e.g. from gather_multiclass_frames
         with copy=False) — the zero-copy path."""
@@ -139,6 +140,17 @@ class ClipDataset:
         # complements/main_dataset.py:239-256); the multiclass reference
         # skips them instead
         self.pad_short_videos = pad_short_videos
+        # Decode cache: PNG decode is the single most expensive loader
+        # stage (~16 ms/frame single-thread, cli/bench_loader --per_stage)
+        # and is deterministic, so steady-state epochs (>= 2) can reuse
+        # the decoded uint8 arrays exactly.  Keyed by path; capped at
+        # cache_mb (insertion stops at the cap — frames recur uniformly
+        # every epoch, so eviction would buy nothing).  Thread-safe under
+        # the GIL (the loader's worker threads share one dict).
+        self.cache_decoded = bool(cache_decoded)
+        self._cache: dict[str, np.ndarray] = {}
+        self._cache_bytes = 0
+        self._cache_limit = int(cache_mb) * (1 << 20)
         if isinstance(root, dict):
             self.videos = {v: list(entries) for v, entries in root.items()}
         else:
@@ -173,6 +185,21 @@ class ClipDataset:
     def __len__(self):
         return len(self.samples)
 
+    def _open(self, path: str, mode: str) -> Image.Image:
+        """``Image.open(path).convert(mode)`` with the optional decode
+        cache (post-convert uint8 arrays, so cached == uncached exactly)."""
+        if not self.cache_decoded:
+            return Image.open(path).convert(mode)
+        arr = self._cache.get(path)
+        if arr is None:
+            im = Image.open(path).convert(mode)
+            arr = np.asarray(im, np.uint8)
+            if self._cache_bytes + arr.nbytes <= self._cache_limit:
+                self._cache[path] = arr
+                self._cache_bytes += arr.nbytes
+            return im
+        return Image.fromarray(arr)
+
     def load_clip(self, idx: int, rng: _random.Random | None = None):
         """Returns dict(clip, masks, edges?, paths)."""
         rec = self.samples[idx]
@@ -182,12 +209,12 @@ class ClipDataset:
 
         imgs, mask_sets = [], []
         for entry in rec.frames:
-            img = Image.open(entry["frame"]).convert("RGB")
+            img = self._open(entry["frame"], "RGB")
             masks = []
             for key in self.mask_keys:
                 mp = entry.get(key)
                 if mp and os.path.exists(mp):
-                    m = Image.open(mp).convert("L")
+                    m = self._open(mp, "L")
                 else:
                     m = Image.new("L", img.size, 0)
                 masks.append(m)
