@@ -108,7 +108,9 @@ def build_train_parser(description="vivim_tpu training"):
               "single-thread) and is deterministic, so epochs >= 2 skip it "
               "entirely; bounded by -cache_mb")
     _add(p, "cache_mb", type=int, default=4096,
-         help="decode-cache cap in MB (insertion stops at the cap)")
+         help="decode-cache cap in MB PER DATASET (insertion stops at the "
+              "cap); train and val each own a cache, so worst-case host "
+              "RAM is 2x this value")
     # Vestigial reference flags (cfg.py:4-42) — accepted for drop-in CLI
     # compatibility; unused here (single-accelerator device selection,
     # legacy dataset switches)

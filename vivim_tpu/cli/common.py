@@ -71,6 +71,8 @@ def trainer_mesh(args, cfg):
 
 
 def build_loaders(args, train_root, val_root=None, dynamic=False):
+    # -cache_mb is a PER-DATASET cap (documented in args.py): train and val
+    # each own an independent decode cache, so worst-case host RAM is 2x.
     cache = dict(cache_decoded=getattr(args, "cache_decoded", False),
                  cache_mb=getattr(args, "cache_mb", 4096))
     train_ds = ClipDataset(

@@ -26,6 +26,7 @@ import dataclasses
 import os
 import random as _random
 import re
+import threading as _threading
 
 import numpy as np
 from PIL import Image
@@ -143,14 +144,18 @@ class ClipDataset:
         # Decode cache: PNG decode is the single most expensive loader
         # stage (~16 ms/frame single-thread, cli/bench_loader --per_stage)
         # and is deterministic, so steady-state epochs (>= 2) can reuse
-        # the decoded uint8 arrays exactly.  Keyed by path; capped at
-        # cache_mb (insertion stops at the cap — frames recur uniformly
-        # every epoch, so eviction would buy nothing).  Thread-safe under
-        # the GIL (the loader's worker threads share one dict).
+        # the decoded uint8 arrays exactly.  Keyed by (path, mode) — the
+        # same file opened as 'RGB' and 'L' must not alias; capped at
+        # cache_mb PER DATASET (insertion stops at the cap — frames recur
+        # uniformly every epoch, so eviction would buy nothing).  A lock
+        # guards insertion accounting: the loader's worker threads share
+        # this dict, and an unguarded check-then-insert double-counts
+        # _cache_bytes when two workers miss the same key.
         self.cache_decoded = bool(cache_decoded)
-        self._cache: dict[str, np.ndarray] = {}
+        self._cache: dict[tuple[str, str], np.ndarray] = {}
         self._cache_bytes = 0
         self._cache_limit = int(cache_mb) * (1 << 20)
+        self._cache_lock = _threading.Lock()
         if isinstance(root, dict):
             self.videos = {v: list(entries) for v, entries in root.items()}
         else:
@@ -190,13 +195,16 @@ class ClipDataset:
         cache (post-convert uint8 arrays, so cached == uncached exactly)."""
         if not self.cache_decoded:
             return Image.open(path).convert(mode)
-        arr = self._cache.get(path)
+        arr = self._cache.get((path, mode))
         if arr is None:
             im = Image.open(path).convert(mode)
             arr = np.asarray(im, np.uint8)
-            if self._cache_bytes + arr.nbytes <= self._cache_limit:
-                self._cache[path] = arr
-                self._cache_bytes += arr.nbytes
+            with self._cache_lock:
+                if ((path, mode) not in self._cache
+                        and self._cache_bytes + arr.nbytes
+                        <= self._cache_limit):
+                    self._cache[(path, mode)] = arr
+                    self._cache_bytes += arr.nbytes
             return im
         return Image.fromarray(arr)
 
