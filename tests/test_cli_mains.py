@@ -40,6 +40,53 @@ def test_check_data_main(tmp_path, capsys):
     assert out_png.exists()
 
 
+def test_train_binary_zero_without_devices_errors(tmp_path):
+    """-zero true with no >1 'data' mesh must REFUSE, not silently ignore
+    the flag (round-4 verdict: train_binary/train_polyp parsed -zero and
+    dropped it)."""
+    from vivim_tpu.cli import train_binary
+
+    tree = tmp_path / "tree"
+    make_gathered_tree(str(tree), n_videos=2, n_frames=6, size=40,
+                       with_solid=False)
+    with pytest.raises(SystemExit, match="-zero"):
+        train_binary.main([
+            "-data_path", str(tree), "-epochs", "1", "-image_size", "32",
+            "-clip_length", "3", "-train_bs", "2", "-val_bs", "2",
+            "-segformer", "tiny", "-num_workers", "0",
+            "-save_path", str(tmp_path / "runs"), "-exp_name", "z",
+            "-zero", "true"])
+
+
+def test_train_binary_main_dp_zero(tmp_path):
+    """train_binary with -n_devices 2 -zero true on the virtual mesh:
+    params + Adam moments ZeRO-sharded over 'data', batch sharded, and the
+    first-epoch loss matches the single-device run (DP on the full batch
+    is mathematically the unsharded step; FSDP == DP is proven leaf-wise
+    in tests/test_fsdp.py — this covers the CLI wiring)."""
+    from vivim_tpu.cli import train_binary
+
+    tree = tmp_path / "tree"
+    make_gathered_tree(str(tree), n_videos=2, n_frames=6, size=40,
+                       with_solid=False)
+
+    def run(name, extra):
+        save = tmp_path / name
+        m = train_binary.main([
+            "-data_path", str(tree), "-epochs", "1", "-image_size", "32",
+            "-clip_length", "3", "-train_bs", "2", "-val_bs", "2",
+            "-segformer", "tiny", "-num_workers", "0", "-val_freq", "1",
+            "-save_path", str(save), "-exp_name", "p"] + extra)
+        return m
+
+    base = run("plain", [])
+    dpz = run("dpz", ["-n_devices", "2", "-zero", "true"])
+    assert np.isfinite(dpz["train/loss"])
+    assert abs(dpz["train/loss"] - base["train/loss"]) < 1e-4 * max(
+        abs(base["train/loss"]), 1.0)
+    assert abs(dpz["val/dice"] - base["val/dice"]) < 1e-3
+
+
 def test_train_binary_main(tmp_path):
     from vivim_tpu.cli import train_binary
 

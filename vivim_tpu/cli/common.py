@@ -70,6 +70,42 @@ def trainer_mesh(args, cfg):
     return None
 
 
+def setup_data_parallelism(args, cfg, state):
+    """Place a fresh (replicated) train state for the -n_devices/-zero
+    flags on the bespoke-loop trainers (train_binary, train_polyp — the
+    multiclass Trainer has its own copy of this logic, trainer.py).
+
+    Returns ``(state, mesh, state_shardings, shard)``: the (re)placed
+    state, the data mesh (or None), the FSDP shardings to pin as the
+    step's out_shardings (or None), and a per-batch ``shard`` callable.
+
+    ``-zero true`` without a >1 'data' mesh axis is an ERROR, not a no-op:
+    a silently ignored parallelism flag reads as a working config.
+    """
+    mesh = trainer_mesh(args, cfg)
+    dp = dict(mesh.shape).get("data", 1) if mesh is not None else 1
+    if getattr(args, "zero", False) and dp <= 1:
+        raise SystemExit(
+            "-zero true shards params + optimizer moments over the 'data' "
+            f"mesh axis, but this run has {dp} 'data' device(s) — pass "
+            "-n_devices N (N > 1) or drop -zero")
+    if mesh is None or dp <= 1:
+        return state, mesh, None, lambda b: b
+    from vivim_tpu.parallel.mesh import replicate, shard_batch
+
+    if args.train_bs % dp != 0:
+        raise SystemExit(
+            f"-train_bs {args.train_bs} must be divisible by the 'data' "
+            f"mesh size {dp} so every device gets equal batch shards")
+    state = replicate(state, mesh)
+    shardings = None
+    if getattr(args, "zero", False):
+        from vivim_tpu.parallel.fsdp import shard_state_fsdp
+
+        state, shardings = shard_state_fsdp(state, mesh)
+    return state, mesh, shardings, lambda b: shard_batch(b, mesh)
+
+
 def build_loaders(args, train_root, val_root=None, dynamic=False):
     # -cache_mb is a PER-DATASET cap (documented in args.py): train and val
     # each own an independent decode cache, so worst-case host RAM is 2x.

@@ -26,6 +26,7 @@ from vivim_tpu.cli.common import (
     build_model,
     maybe_load_hf_segformer,
     maybe_load_pretrained,
+    setup_data_parallelism,
 )
 from vivim_tpu.data.dataset import ClipDataset
 from vivim_tpu.data.loader import DataLoader
@@ -99,6 +100,11 @@ def main(argv=None):
                        rng=jax.random.PRNGKey(args.seed + 1))
     state = maybe_load_hf_segformer(args, cfg, state)
     state = maybe_load_pretrained(args, model, state)
+    # -n_devices: shard the clip batch over a 'data' mesh (GSPMD grad
+    # all-reduce); -zero: additionally shard params + Adam moments
+    # leaf-wise (parallel/fsdp.py) — placement after the weight grafts
+    state, mesh, state_shardings, shard = setup_data_parallelism(
+        args, cfg, state)
     edge_loss_fn = None
     if args.with_edge:
         from vivim_tpu.train.edge_loss import make_joint_edge_seg_loss
@@ -108,7 +114,8 @@ def main(argv=None):
             seg_l, seg_m, edge_l, edge_m)
     train_step = B.make_binary_train_step(model, tx, args.with_edge,
                                           edge_loss_fn,
-                                          grad_accum=args.grad_accum)
+                                          grad_accum=args.grad_accum,
+                                          state_shardings=state_shardings)
     eval_step = B.make_binary_eval_step(model, args.with_edge)
     ckpt = CheckpointManager(os.path.join(run_dir, "ckpt"),
                              monitor="val/dice", mode="max", top_k=1)
@@ -117,7 +124,7 @@ def main(argv=None):
         train_dl.set_epoch(epoch)
         losses = []
         for batch in train_dl:
-            db = {k: v for k, v in batch.items() if k != "paths"}
+            db = shard({k: v for k, v in batch.items() if k != "paths"})
             state, m = train_step(state, db)
             losses.append(float(m["loss"]))
         metrics = {"train/loss": float(np.mean(losses)) if losses else 0.0,

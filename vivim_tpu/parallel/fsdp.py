@@ -41,6 +41,13 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 MIN_SHARD_ELEMS = 16384
 
 
+class _AnalyticLeaf:
+    """nbytes carrier for ShapeDtypeStruct leaves (state_bytes_per_device)."""
+
+    def __init__(self, nbytes: int):
+        self.nbytes = nbytes
+
+
 def _leaf_spec(x, n_shards: int, axis: str,
                min_shard_elems: int = MIN_SHARD_ELEMS) -> P:
     """PartitionSpec sharding the LARGEST divisible dimension of ``x``
@@ -91,14 +98,23 @@ def shard_state_fsdp(state, mesh: Mesh, axis: str = "data",
 
 def state_bytes_per_device(state, shardings=None) -> int:
     """Analytic per-device bytes of the state under ``shardings`` (or
-    replicated when None) — the number the memory claim is made from."""
+    replicated when None) — the number the memory claim is made from.
+
+    Accepts real arrays OR ``jax.eval_shape`` trees (ShapeDtypeStruct has
+    shape/dtype but no nbytes), so the production-config footprint can be
+    computed without materializing a 60M-param state."""
     total = 0
     leaves, treedef = jax.tree_util.tree_flatten(state)
     shard_leaves = (jax.tree_util.tree_flatten(shardings)[0]
                     if shardings is not None else [None] * len(leaves))
     for x, s in zip(leaves, shard_leaves):
         if not hasattr(x, "nbytes"):
-            continue
+            shape = getattr(x, "shape", None)
+            dtype = getattr(x, "dtype", None)
+            if shape is None or dtype is None:
+                continue
+            x = _AnalyticLeaf(
+                int(np.prod(shape)) * np.dtype(dtype).itemsize)
         n = 1
         if s is not None and hasattr(s, "spec"):
             mesh_axes = dict(zip(s.mesh.axis_names, s.mesh.devices.shape))

@@ -20,6 +20,14 @@ def make_mesh(n_devices: int | None = None, axis: str = "data",
     if devices is None:
         devices = jax.devices()
         if n_devices is not None:
+            if len(devices) < n_devices:
+                # refuse rather than silently building a smaller mesh: a
+                # user's -n_devices 8 degrading to 1 device would train
+                # at 1/8 the batch with no error anywhere
+                raise ValueError(
+                    f"requested a {n_devices}-device '{axis}' mesh but "
+                    f"only {len(devices)} device(s) are visible "
+                    f"({jax.default_backend()} backend)")
             devices = devices[:n_devices]
     return Mesh(np.array(devices), (axis,))
 

@@ -11,6 +11,8 @@ Reference: /root/reference/complements/train_binary.py —
 
 from __future__ import annotations
 
+import functools
+
 import jax
 import numpy as np
 import optax
@@ -31,13 +33,22 @@ def center_frames(x, nframes):
 
 
 def make_binary_train_step(model, tx, with_edge=False, edge_loss_fn=None,
-                           grad_accum: int = 1):
+                           grad_accum: int = 1, state_shardings=None):
     """``grad_accum``: micro-batch accumulation inside the jitted step —
     same semantics as the multiclass trainer's (loop.make_train_step):
     lax.scan over contiguous micro-batches, distinct dropout folds,
-    sequentially threaded batch_stats, averaged grads/loss, ONE update."""
+    sequentially threaded batch_stats, averaged grads/loss, ONE update.
+
+    ``state_shardings``: a TrainState-shaped pytree of ``NamedSharding``
+    (parallel.fsdp.fsdp_state_shardings) pinned as the step's
+    ``out_shardings`` so the carried state STAYS ZeRO-sharded across steps
+    (without it, GSPMD is free to re-replicate the output) — same contract
+    as loop.make_train_step."""
     if grad_accum < 1:
         raise ValueError(f"grad_accum must be >= 1, got {grad_accum}")
+    jit_kwargs = {}
+    if state_shardings is not None:
+        jit_kwargs["out_shardings"] = (state_shardings, None)
 
     def compute_loss(params, batch, batch_stats, rng):
         T = batch["clip"].shape[1]
@@ -68,7 +79,7 @@ def make_binary_train_step(model, tx, with_edge=False, edge_loss_fn=None,
         )
         return new_state, {"loss": loss}
 
-    @jax.jit
+    @functools.partial(jax.jit, **jit_kwargs)
     def step(state: TrainState, batch):
         rng, new_rng = jax.random.split(
             jax.random.fold_in(state.rng, state.step))
@@ -77,7 +88,7 @@ def make_binary_train_step(model, tx, with_edge=False, edge_loss_fn=None,
                 state.params, batch, state.batch_stats, rng)
         return finish(state, new_rng, loss, grads, updates["batch_stats"])
 
-    @jax.jit
+    @functools.partial(jax.jit, **jit_kwargs)
     def step_accum(state: TrainState, batch):
         import jax.numpy as jnp
 

@@ -97,8 +97,16 @@ class Trainer:
         # keep the carried state sharded across steps.  Placement happens
         # at fit() time, after any pretrained-weight grafts.
         self.state_shardings = None
-        if cfg.zero and mesh is not None and dict(mesh.shape).get(
-                "data", 1) > 1:
+        if cfg.zero:
+            dp = dict(mesh.shape).get("data", 1) if mesh is not None else 1
+            if dp <= 1:
+                # a silently ignored parallelism flag reads as a working
+                # config — refuse instead (same contract as the binary/
+                # polyp CLIs, cli/common.setup_data_parallelism)
+                raise ValueError(
+                    "zero=True shards params + optimizer moments over the "
+                    f"'data' mesh axis, but this run has {dp} 'data' "
+                    "device(s) — pass -n_devices N (N > 1) or drop -zero")
             from vivim_tpu.parallel.fsdp import fsdp_state_shardings
             self.state_shardings = fsdp_state_shardings(self.state, mesh)
         # donate the carried state: the trainer only ever holds the newest
