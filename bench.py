@@ -257,9 +257,10 @@ HEADLINE_KEYS = (
     "noise_band_ms_bs8", "mfu_bs8", "canary_matmul_ms", "canary_scan_ms",
     "eval_fps_512px", "eval_fps_512px_noise_band", "eval_fps_512px_int8",
     "loader_fps_bench_host", "loader_fps_idle_host", "loader_fps_warm_cache",
-    "loader_required_frames_per_sec",
+    "loader_fps_warm_pre_resize", "loader_required_frames_per_sec",
     "loader_cores_needed_at_linear_scaling",
-    "loader_cores_needed_warm_cache", "host_cpus",
+    "loader_cores_needed_warm_cache",
+    "loader_cores_needed_warm_pre_resize", "host_cpus",
     "batch_scaling_path", "full_dump_path",
 )
 
@@ -492,6 +493,17 @@ def _bench_loader(out):
     out["loader_cores_needed_warm_cache"] = round(
         out["loader_required_frames_per_sec"]
         / max(warm["frames_per_sec"], 1e-9), 1)
+    # maximum-throughput mode: cache + augment-at-target-resolution
+    # (-cache_decoded -pre_resize; reorders interpolation vs the
+    # reference — opt-in, see args.py / README host-pipeline section)
+    _progress("loader: measuring warm pre-resize rate")
+    fast = measure_loader(image_size=IMG, clip_length=CLIP_LEN,
+                          num_workers=1, epochs=1, cache_decoded=True,
+                          pre_resize=True)
+    out["loader_fps_warm_pre_resize"] = fast["frames_per_sec"]
+    out["loader_cores_needed_warm_pre_resize"] = round(
+        out["loader_required_frames_per_sec"]
+        / max(fast["frames_per_sec"], 1e-9), 1)
     if int(os.environ.get("BENCH_LOADER_STAGES", "0")):
         out["loader_per_stage"] = measure_stages(
             image_size=IMG, clip_length=CLIP_LEN)

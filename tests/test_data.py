@@ -103,6 +103,48 @@ def test_decode_cache_exact_and_capped(tmp_path):
     assert capped._cache_bytes == 0 and not capped._cache
 
 
+def test_pre_resize_shapes_determinism_and_none_parity(tmp_path):
+    """-pre_resize (resize at decode, augment at target resolution):
+    shapes/dtypes unchanged, deterministic under a fixed rng, near-exact
+    vs the standard path when augmentation is OFF (the only difference is
+    one uint8 rounding between the PIL pre-resize and the fused native
+    resize+normalize), and the decode cache stores the SMALL arrays."""
+    import random
+
+    root = make_gathered_tree(str(tmp_path / "t"), n_videos=1, n_frames=12,
+                              size=64)
+    pre = ClipDataset(root, size=32, clip_len=3, augment="medium", seed=7,
+                      pre_resize=True)
+    item = pre.load_clip(0, random.Random(3))
+    assert item["clip"].shape == (3, 32, 32, 3)
+    assert item["masks"].shape == (3, 32, 32, 3)
+    assert item["edges"].shape == (3, 32, 32, 1)
+    np.testing.assert_array_equal(
+        item["clip"], pre.load_clip(0, random.Random(3))["clip"])
+
+    # augment off: pre-resize == standard path up to one uint8 rounding
+    # (<= 0.5/255 pre-normalization; /std 0.225 post -> atol ~0.01), masks
+    # (NEAREST twice == NEAREST once) and edges exactly equal
+    std = ClipDataset(root, size=32, clip_len=3, augment="none", seed=7)
+    fast = ClipDataset(root, size=32, clip_len=3, augment="none", seed=7,
+                       pre_resize=True)
+    for idx in range(len(std)):
+        a, b = std.load_clip(idx), fast.load_clip(idx)
+        np.testing.assert_allclose(a["clip"], b["clip"], atol=2.5e-2)
+        np.testing.assert_array_equal(a["masks"], b["masks"])
+        np.testing.assert_array_equal(a["edges"], b["edges"])
+
+    # cache stores target-size arrays (4x fewer pixels than 64px source)
+    cached = ClipDataset(root, size=32, clip_len=3, augment="medium", seed=7,
+                         pre_resize=True, cache_decoded=True)
+    cached.load_clip(0, random.Random(0))
+    assert all(arr.shape[:2] == (32, 32) for arr in cached._cache.values())
+    # warm hit == cold fill (exactness through the cache)
+    a = cached.load_clip(1, random.Random(5))
+    b = cached.load_clip(1, random.Random(5))
+    np.testing.assert_array_equal(a["clip"], b["clip"])
+
+
 def test_dataset_max_num_and_dynamic(tmp_path):
     root = make_gathered_tree(str(tmp_path / "t"), n_videos=1, n_frames=30)
     ds = ClipDataset(root, size=16, clip_len=3, max_num=4, augment="none")

@@ -111,6 +111,14 @@ def build_train_parser(description="vivim_tpu training"):
          help="decode-cache cap in MB PER DATASET (insertion stops at the "
               "cap); train and val each own a cache, so worst-case host "
               "RAM is 2x this value")
+    _add(p, "pre_resize", type=str2bool, default=False,
+         help="resize frames/masks to -image_size at decode time, BEFORE "
+              "augmentation (the reference augments at source resolution "
+              "then resizes): every host augment op runs on ~4x fewer "
+              "pixels and -cache_decoded stores ~4x smaller arrays — an "
+              "opt-in throughput mode that reorders interpolation, so "
+              "augmented pixels differ from the reference pipeline at "
+              "the resampling level (exact when augmentation is off)")
     # Vestigial reference flags (cfg.py:4-42) — accepted for drop-in CLI
     # compatibility; unused here (single-accelerator device selection,
     # legacy dataset switches)

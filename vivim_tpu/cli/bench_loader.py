@@ -67,7 +67,7 @@ def make_synthetic_tree(root: str, n_videos: int = 6, n_frames: int = 40,
 def measure_loader(data_root=None, image_size=256, clip_length=5,
                    batch_size=3, num_workers=1, epochs=1, augment="medium",
                    with_edges=True, n_videos=6, n_frames=40,
-                   cache_decoded=False):
+                   cache_decoded=False, pre_resize=False):
     """The ONE loader measurement: production DataLoader over a gathered
     tree (synthetic 6-video x 40-frame when ``data_root`` is None), with a
     warmup epoch (thread spin-up + native lib build + page cache).
@@ -86,7 +86,7 @@ def measure_loader(data_root=None, image_size=256, clip_length=5,
     try:
         ds = ClipDataset(root, size=image_size, clip_len=clip_length,
                          augment=augment, with_edges=with_edges,
-                         cache_decoded=cache_decoded)
+                         cache_decoded=cache_decoded, pre_resize=pre_resize)
         loader = DataLoader(ds, batch_size, shuffle=True,
                             num_workers=num_workers)
         frames = 0
@@ -117,6 +117,7 @@ def measure_loader(data_root=None, image_size=256, clip_length=5,
         # num_workers=1 there — see --per_stage for the derivation).
         "frames_per_sec_per_worker": round(fps / max(num_workers, 1), 1),
         "cache_decoded": cache_decoded,
+        "pre_resize": pre_resize,
     }
 
 
@@ -214,12 +215,15 @@ def main(argv=None):
                     help="enable the host decode cache (-cache_decoded on "
                          "the trainers): the warmup epoch fills it, so the "
                          "measured epochs report the steady-state warm rate")
+    ap.add_argument("--pre_resize", action="store_true",
+                    help="resize to --image_size at decode time, before "
+                         "augmentation (-pre_resize on the trainers)")
     args = ap.parse_args(argv)
 
     res = measure_loader(
         args.data_root, args.image_size, args.clip_length, args.batch_size,
         args.num_workers, args.epochs, args.augment, not args.no_edges,
-        cache_decoded=args.cache_decoded)
+        cache_decoded=args.cache_decoded, pre_resize=args.pre_resize)
     res = {
         "metric": f"loader_frames_per_sec_{args.image_size}px_"
                   f"aug_{args.augment}_edges{int(not args.no_edges)}",

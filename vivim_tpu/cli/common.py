@@ -110,7 +110,8 @@ def build_loaders(args, train_root, val_root=None, dynamic=False):
     # -cache_mb is a PER-DATASET cap (documented in args.py): train and val
     # each own an independent decode cache, so worst-case host RAM is 2x.
     cache = dict(cache_decoded=getattr(args, "cache_decoded", False),
-                 cache_mb=getattr(args, "cache_mb", 4096))
+                 cache_mb=getattr(args, "cache_mb", 4096),
+                 pre_resize=getattr(args, "pre_resize", False))
     train_ds = ClipDataset(
         train_root, size=args.image_size, clip_len=args.clip_length,
         max_num=args.max_numerosity, augment=args.augment_intensity,

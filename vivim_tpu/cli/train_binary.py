@@ -58,7 +58,8 @@ def main(argv=None):
         clip_len = 1
     else:
         cache = dict(cache_decoded=getattr(args, "cache_decoded", False),
-                     cache_mb=getattr(args, "cache_mb", 4096))
+                     cache_mb=getattr(args, "cache_mb", 4096),
+                     pre_resize=getattr(args, "pre_resize", False))
         train_ds = ClipDataset(
             args.data_path, size=args.image_size, clip_len=args.clip_length,
             max_num=args.max_numerosity, augment=args.augment_intensity,

@@ -119,7 +119,7 @@ class ClipDataset:
                  mask_keys=MULTICLASS_KEYS, dynamic=False, seed=42,
                  with_edges=True, invert_background=False,
                  pad_short_videos=False, cache_decoded=False,
-                 cache_mb=4096):
+                 cache_mb=4096, pre_resize=False):
         """``root`` is either a gathered video-tree directory or an index
         dict {video: [entry dicts]} (e.g. from gather_multiclass_frames
         with copy=False) — the zero-copy path."""
@@ -152,10 +152,22 @@ class ClipDataset:
         # this dict, and an unguarded check-then-insert double-counts
         # _cache_bytes when two workers miss the same key.
         self.cache_decoded = bool(cache_decoded)
-        self._cache: dict[tuple[str, str], np.ndarray] = {}
+        self._cache: dict[tuple, np.ndarray] = {}
         self._cache_bytes = 0
         self._cache_limit = int(cache_mb) * (1 << 20)
         self._cache_lock = _threading.Lock()
+        # pre_resize: resize frames/masks to (size, size) at DECODE time,
+        # before augmentation, instead of after it.  Every PIL augment op
+        # then runs on size^2 pixels (4x fewer at a 512px source / 256px
+        # target) and the decode cache stores the small arrays (4x fewer
+        # bytes per frame).  This REORDERS interpolation relative to the
+        # reference (Multiclass_Data.py augments at source resolution,
+        # then resizes), so outputs differ at the interpolation level —
+        # an opt-in throughput mode, exactly equal only when augment is
+        # off (up to one uint8 rounding; tested).  The final native
+        # resize+normalize still runs (at scale 1 it is the identity
+        # resample fused with normalization).
+        self.pre_resize = bool(pre_resize)
         if isinstance(root, dict):
             self.videos = {v: list(entries) for v, entries in root.items()}
         else:
@@ -191,19 +203,33 @@ class ClipDataset:
         return len(self.samples)
 
     def _open(self, path: str, mode: str) -> Image.Image:
-        """``Image.open(path).convert(mode)`` with the optional decode
-        cache (post-convert uint8 arrays, so cached == uncached exactly)."""
-        if not self.cache_decoded:
-            return Image.open(path).convert(mode)
-        arr = self._cache.get((path, mode))
-        if arr is None:
+        """``Image.open(path).convert(mode)`` with optional pre-resize to
+        the target size and the optional decode cache (post-convert,
+        post-pre-resize uint8 arrays, so cached == uncached exactly)."""
+        presize = self.size if self.pre_resize else None
+
+        def decode():
             im = Image.open(path).convert(mode)
+            if presize is not None and im.size != (presize, presize):
+                # BILINEAR (antialiased) for frames, NEAREST for masks —
+                # the same resample pair the post-augment resize uses
+                resample = (Image.NEAREST if mode == "L"
+                            else Image.BILINEAR)
+                im = im.resize((presize, presize), resample)
+            return im
+
+        if not self.cache_decoded:
+            return decode()
+        key = (path, mode, presize)
+        arr = self._cache.get(key)
+        if arr is None:
+            im = decode()
             arr = np.asarray(im, np.uint8)
             with self._cache_lock:
-                if ((path, mode) not in self._cache
+                if (key not in self._cache
                         and self._cache_bytes + arr.nbytes
                         <= self._cache_limit):
-                    self._cache[(path, mode)] = arr
+                    self._cache[key] = arr
                     self._cache_bytes += arr.nbytes
             return im
         return Image.fromarray(arr)
