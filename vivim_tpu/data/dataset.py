@@ -144,8 +144,9 @@ class ClipDataset:
         # Decode cache: PNG decode is the single most expensive loader
         # stage (~16 ms/frame single-thread, cli/bench_loader --per_stage)
         # and is deterministic, so steady-state epochs (>= 2) can reuse
-        # the decoded uint8 arrays exactly.  Keyed by (path, mode) — the
-        # same file opened as 'RGB' and 'L' must not alias; capped at
+        # the decoded uint8 arrays exactly.  Keyed by (path, mode,
+        # presize) — the same file opened as 'RGB' and 'L' (or with a
+        # different pre-resize target) must not alias; capped at
         # cache_mb PER DATASET (insertion stops at the cap — frames recur
         # uniformly every epoch, so eviction would buy nothing).  A lock
         # guards insertion accounting: the loader's worker threads share
