@@ -57,6 +57,7 @@ _SLOW_MODULES = {
     # 8-device-mesh jit compiles (minutes each on XLA:CPU)
     "test_seq_scan", "test_tensor_parallel", "test_distributed_ckpt",
     "test_graft_entry", "test_dropout_and_remat", "test_fsdp",
+    "test_pipeline", "test_expert_parallel",
     # full-CLI / end-to-end training runs
     "test_train_e2e", "test_cli_mains", "test_infer_cli",
     "test_binary", "test_polyp",
