@@ -2,7 +2,10 @@
 
 Submodules: ``seq_scan`` (sequence-sharded selective scan),
 ``tensor_parallel`` (Megatron-style TP Mamba mixer / LM forward / decode),
-``fsdp`` (ZeRO-style param + optimizer sharding over the ``data`` axis).
+``fsdp`` (ZeRO-style param + optimizer sharding over the ``data`` axis),
+``pipeline`` (GPipe-style stage-sharded LM layer stack over a ``pipe``
+axis), ``expert`` (expert-parallel Switch-MoE FFN over an ``expert``
+axis).
 """
 
 from vivim_tpu.parallel.mesh import (
