@@ -118,3 +118,28 @@ def test_pp_validation_errors():
     mesh2 = Mesh(np.array(jax.devices()[:2]), ("pipe",))  # 6 % 2 == 0
     with pytest.raises(ValueError, match="batch 3"):
         lm_pp_forward(cfg, variables, tokens, mesh2, n_micro=2)
+
+
+def test_eval_core_pp_scoring_matches():
+    """The lm_eval adapter's --pp_stages path scores identically to the
+    single-device forward, and refuses to combine with --tp_shards."""
+    from vivim_tpu.cli.lm_eval_harness import MambaEvalCore
+
+    class Tok:
+        eos_token_id = 0
+
+        def encode(self, s):
+            return [ord(c) % 50 for c in s]
+
+        def decode(self, ids):
+            return "".join(chr(65 + (i % 26)) for i in ids)
+
+    cfg, model, variables, _ = _lm_setup(n_layer=8)
+    core1 = MambaEvalCore(model, variables, Tok())
+    core8 = MambaEvalCore(model, variables, Tok(), pp_stages=8)
+    ll1, greedy1 = core1.loglikelihood_pair("hello wor", "ld")
+    ll8, greedy8 = core8.loglikelihood_pair("hello wor", "ld")
+    assert abs(ll1 - ll8) < 1e-3 * max(abs(ll1), 1.0)
+    assert greedy1 == greedy8
+    with pytest.raises(ValueError, match="mutually exclusive"):
+        MambaEvalCore(model, variables, Tok(), tp_shards=8, pp_stages=8)

@@ -29,10 +29,18 @@ class MambaEvalCore:
     decode through ``tp_generate`` (the conv/ssm decode cache lives
     sharded, 1/k of the cache HBM per device) — for LMs too large for one
     chip.
+
+    ``pp_stages > 1`` scores pipeline-parallel instead: the layer stack
+    runs as a GPipe schedule over a 1-D ``pipe`` mesh with stage-sharded
+    weights (``parallel.pipeline.lm_pp_forward``; ``n_micro=1`` — scoring
+    batches are single sequences, so PP here buys the k-way weight split,
+    not microbatch overlap).  Decode requests fall back to the
+    single-device token loop (a 1-token step has no pipeline to fill).
+    Mutually exclusive with ``tp_shards``.
     """
 
     def __init__(self, model, params, tokenizer, max_gen_toks=128,
-                 eot_token_id=None, tp_shards=1):
+                 eot_token_id=None, tp_shards=1, pp_stages=1):
         import jax
 
         self.model = model
@@ -43,7 +51,19 @@ class MambaEvalCore:
             eot_token_id if eot_token_id is not None
             else getattr(tokenizer, "eos_token_id", None) or 0)
         self._tp_mesh = None
-        if tp_shards > 1:
+        if tp_shards > 1 and pp_stages > 1:
+            raise ValueError(
+                "tp_shards and pp_stages are mutually exclusive — pick "
+                "one sharding for the eval forward")
+        if pp_stages > 1:
+            from vivim_tpu.parallel.mesh import make_mesh
+            from vivim_tpu.parallel.pipeline import lm_pp_forward
+
+            pp_mesh = make_mesh(pp_stages, axis="pipe")
+            self._fwd = jax.jit(lambda toks: lm_pp_forward(
+                model.cfg, params, toks, pp_mesh, n_micro=1,
+                implementation=model.scan_implementation))
+        elif tp_shards > 1:
             from vivim_tpu.parallel.mesh import make_mesh
             from vivim_tpu.parallel.tensor_parallel import lm_tp_forward
 
@@ -242,6 +262,10 @@ def main(argv=None):
                    help="tensor-parallel shards for scoring (Megatron "
                         "column/row split of every mixer over a 'model' "
                         "mesh axis)")
+    p.add_argument("--pp_stages", type=int, default=1,
+                   help="pipeline-parallel stages for scoring (GPipe "
+                        "stage-sharded layer stack over a 'pipe' mesh "
+                        "axis; mutually exclusive with --tp_shards)")
     p.add_argument("--limit", type=int, default=None,
                    help="cap examples per task (smoke runs)")
     args = p.parse_args(argv)
@@ -262,7 +286,8 @@ def main(argv=None):
                             hf_repo=args.hf_repo)
     wrapper = build_wrapper(model, params, tokenizer,
                             max_gen_toks=args.max_gen_toks,
-                            tp_shards=args.tp_shards)
+                            tp_shards=args.tp_shards,
+                            pp_stages=args.pp_stages)
     results = lm_eval.simple_evaluate(
         model=wrapper, tasks=args.tasks.split(","), limit=args.limit)
     print(json.dumps(results.get("results", results), indent=2,
