@@ -10,6 +10,7 @@ from vivim_tpu.nn.segformer import (
     mit_b0,
     mit_b3,
 )
+from vivim_tpu.nn.moe import MoEMambaLM, MoEMambaLMConfig, SwitchFFN
 from vivim_tpu.nn.vivim import Vivim, VivimConfig, VivimEncoder
 
 __all__ = [
@@ -17,4 +18,5 @@ __all__ = [
     "SegformerConfig", "SegformerEncoder", "SegformerDecodeHead",
     "SegformerForSemanticSegmentation", "mit_b0", "mit_b3",
     "Vivim", "VivimConfig", "VivimEncoder",
+    "MoEMambaLM", "MoEMambaLMConfig", "SwitchFFN",
 ]
