@@ -265,6 +265,66 @@ HEADLINE_KEYS = (
 )
 
 
+def _preflight(jax, jnp):
+    """Bounded wait for a responsive device before any measurement.
+
+    The axon tunnel can wedge (observed 2026-08-21: a trivial 8x8 fetch
+    never returned for >25 min) — without this guard bench.py would block
+    forever inside its first device fetch and the round artifact would be
+    EMPTY, which is worse than a late or honestly-failed one.  Probes a
+    tiny fetch in a daemon thread (the hang is inside a blocking C call,
+    so only a thread can bound it), retrying up to BENCH_PREFLIGHT_S
+    (default 1800 s).  On success: proceed.  On timeout: print a
+    diagnostic compact JSON as the LAST stdout line (so the driver's tail
+    capture records WHY there is no headline) and exit 1.
+    """
+    import threading
+
+    deadline = time.time() + float(os.environ.get("BENCH_PREFLIGHT_S",
+                                                  "1800"))
+    attempt = 0
+    while True:
+        attempt += 1
+        ok = threading.Event()
+
+        def probe():
+            try:
+                float(jnp.sum(jnp.ones((8, 8))))
+                ok.set()
+            except Exception:
+                pass  # fall through to retry
+
+        t = threading.Thread(target=probe, daemon=True)
+        t.start()
+        t.join(timeout=60)
+        if ok.is_set():
+            if attempt > 1:
+                _progress(f"preflight: device responsive after "
+                          f"{attempt} probes")
+            return
+        _progress(f"preflight: device fetch unresponsive "
+                  f"(probe {attempt}, {deadline - time.time():.0f}s left)")
+        if time.time() >= deadline:
+            print(json.dumps({
+                "metric": "bench_preflight_failed",
+                "value": None,
+                "unit": "n/a",
+                "error": (
+                    f"device fetch unresponsive for "
+                    f"{float(os.environ.get('BENCH_PREFLIGHT_S', '1800')):.0f}s "
+                    f"({attempt} probes; backend="
+                    f"{jax.default_backend()}) — environment outage, "
+                    "not a repo regression; re-run when the tunnel "
+                    "recovers"),
+            }), flush=True)
+            sys.stderr.flush()
+            # _exit: a daemon thread is still blocked inside the wedged
+            # device fetch (a C call); normal interpreter teardown aborts
+            # on it (observed SIGABRT "exception not rethrown")
+            os._exit(1)
+        time.sleep(30)
+
+
 def main():
     import jax
 
@@ -307,6 +367,9 @@ def main():
     # memory-bound alternative to BENCH_REMAT=2 for effective bs>=16
     # (BENCH_BATCH must be divisible by k)
     grad_accum = int(os.environ.get("BENCH_GRAD_ACCUM", "1"))
+
+    # preflight: refuse to hang forever on a wedged device tunnel
+    _preflight(jax, jnp)
 
     # drift canary FIRST: if the headline moved, these two fixed-shape
     # probes say whether the environment moved with it
