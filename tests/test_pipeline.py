@@ -143,3 +143,16 @@ def test_eval_core_pp_scoring_matches():
     assert greedy1 == greedy8
     with pytest.raises(ValueError, match="mutually exclusive"):
         MambaEvalCore(model, variables, Tok(), tp_shards=8, pp_stages=8)
+
+
+def test_pp_more_microbatches_than_stages():
+    """n_micro > k (the production regime — bubble shrinks as M grows):
+    a 2-stage pipe draining 4 microbatches still matches unsharded."""
+    cfg, model, variables, tokens = _lm_setup(B=8, n_layer=2)
+    logits_ref = model.apply(variables, tokens)
+    mesh = Mesh(np.array(jax.devices()[:2]), ("pipe",))
+    logits_pp = lm_pp_forward(cfg, variables, tokens, mesh, n_micro=4,
+                              implementation="ref")
+    np.testing.assert_allclose(np.asarray(logits_pp),
+                               np.asarray(logits_ref),
+                               atol=1e-4, rtol=1e-4)
