@@ -84,8 +84,10 @@ def main(argv=None):
                         "(also written to TESTS_LATEST.json)")
     p.add_argument("--fast-only", action="store_true",
                    help="skip the slow tier (quick health check)")
-    p.add_argument("--timeout", type=int, default=5400,
-                   help="per-tier subprocess timeout (s)")
+    p.add_argument("--timeout", type=int, default=9000,
+                   help="per-tier subprocess timeout (s); the slow tier "
+                        "passed 5400s in round 5 once the pipeline/EP "
+                        "mesh tests landed")
     args = p.parse_args(argv)
 
     record = {
